@@ -1,0 +1,513 @@
+"""Streaming transformer with ring KV cache, TPU-native.
+
+Behavioral reference: `moshi/moshi/modules/transformer.py` —
+- `RingKVCache` (lines 196-288): fixed-capacity circular KV cache with
+  scatter writes at `offset % capacity` and recomputed absolute positions
+  (`positions = -1` marks never-written slots);
+- `StreamingMultiheadAttention` (337-597): fused qkv in_proj, RoPE before
+  caching, causal + sliding-window mask from position deltas
+  (`delta = pos_q - pos_k`, valid iff `pos_k >= 0 and 0 <= delta < context`);
+- `weights_per_step` (291-318): distinct projection/FFN weights per time step
+  (used by the Depformer), with optional sharing schedule;
+- `StreamingTransformer` (814-929) and `ProjectedTransformer` (932-983).
+
+TPU-native design:
+- all layer parameters are stacked on a leading `[num_layers, ...]` axis and
+  the layer loop is a single `lax.scan` (one compiled layer body, fast
+  compiles even at 32 layers);
+- per-step weights are stacked on a `[num_weights, ...]` axis and selected
+  with a (possibly traced) index vector, so the Depformer's 8 inner steps run
+  inside one jitted program with no per-step recompilation;
+- streaming state is an explicit pytree `{k, v, offset}` threaded through a
+  pure `step`; per-slot freeze uses `exec_mask` like the reference's
+  `respect_exec_mask` (transformer.py:243-288).
+"""
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .norm import make_norm, LayerScale
+from ..utils.matmul import dot, einsum
+from .rope import apply_rope
+
+
+def create_sin_embedding(positions: jax.Array, dim: int,
+                         max_period: float = 10_000.0) -> jax.Array:
+    """Sinusoidal embedding [B, T, dim]; positions [B, T] (transformer.py:139-164)."""
+    assert dim % 2 == 0
+    half = dim // 2
+    positions = positions.astype(jnp.float32)[..., None]
+    adim = jnp.arange(half, dtype=jnp.float32).reshape(1, 1, -1)
+    phase = positions / (max_period ** (adim / (half - 1)))
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+def gating_hidden_dim(dim: int, dim_feedforward: int) -> int:
+    """Hidden width of the SiLU-gated FFN (moshi/moshi/modules/gating.py:50-58)."""
+    if dim_feedforward == 4 * dim:
+        return 21 * dim // 8
+    return 2 * dim_feedforward // 3
+
+
+def _per_step_linear(w: jax.Array, x: jax.Array,
+                     idx: jax.Array | None) -> jax.Array:
+    """Apply stacked per-step weights.  w: [W, din, dout]; x: [B, T, din];
+    idx: [T] weight index per position (ignored when W == 1)."""
+    if w.shape[0] == 1:
+        return dot(x, w[0].astype(x.dtype))
+    assert idx is not None, "weights_per_step requires step indices"
+    wt = jnp.take(w, idx, axis=0).astype(x.dtype)  # [T, din, dout]
+    return einsum("btd,tdo->bto", x, wt)
+
+
+def ring_write(cache: jax.Array, new: jax.Array, offset: jax.Array) -> jax.Array:
+    """Scatter `new` [B, T, H, D] into ring `cache` [B, cap, H, D] at
+    positions (offset + arange(T)) % cap (RingKVCache.complete, 236-253)."""
+    B, cap = cache.shape[:2]
+    T = new.shape[1]
+    idx = (offset[:, None] + jnp.arange(T, dtype=offset.dtype)) % cap  # [B, T]
+    return cache.at[jnp.arange(B)[:, None], idx].set(new.astype(cache.dtype))
+
+
+def ring_positions(offset: jax.Array, T: int, cap: int,
+                   exec_mask: jax.Array | None) -> tuple[jax.Array, jax.Array]:
+    """Absolute positions [B, cap] of ring slots after writing T new steps,
+    with -1 for never-written slots, plus the updated offset [B]
+    (RingKVCache.complete, transformer.py:255-288)."""
+    idx = jnp.arange(cap, dtype=offset.dtype)[None]         # [1, cap]
+    last = (offset + T - 1)[:, None]                        # [B, 1]
+    end_index = last % cap
+    delta = idx - end_index
+    pos = jnp.where(delta <= 0, last + delta, last + delta - cap)
+    if exec_mask is None:
+        offset_next = offset + T
+    else:
+        offset_next = jnp.where(exec_mask, offset + T, offset)
+    pos = jnp.where(idx >= offset_next[:, None], -1, pos)
+    return pos, offset_next
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    d_model: int
+    num_heads: int
+    num_layers: int
+    dim_feedforward: int = 2048
+    causal: bool = True
+    context: int | None = None
+    positional_embedding: str = "rope"  # sin | rope | sin_rope | rope_concat | none
+    max_period: float = 10_000.0
+    positional_scale: float = 1.0
+    gating: str = "none"  # none | silu | ...
+    norm: str = "layer_norm"
+    layer_scale: float | None = None
+    kv_repeat: int = 1
+    weights_per_step: int = 0
+    weights_per_step_schedule: tuple[int, ...] | None = None
+    cross_attention: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads // self.kv_repeat
+
+    @property
+    def num_weights(self) -> int:
+        if not self.weights_per_step:
+            return 1
+        if self.weights_per_step_schedule is not None:
+            assert len(self.weights_per_step_schedule) == self.weights_per_step
+            return max(self.weights_per_step_schedule) + 1
+        return self.weights_per_step
+
+    @property
+    def kv_capacity(self) -> int:
+        """Ring cache capacity (transformer.py:466-479)."""
+        if self.context is not None:
+            return self.context
+        if self.weights_per_step:
+            return self.weights_per_step
+        raise ValueError("cannot size a streaming KV cache without a context")
+
+    @property
+    def hidden(self) -> int:
+        return gating_hidden_dim(self.d_model, self.dim_feedforward)
+
+    def steps_to_weight_indices(self, steps: jax.Array) -> jax.Array | None:
+        """Map absolute step indices [T] to weight indices via the schedule."""
+        if self.num_weights == 1:
+            return None
+        if self.weights_per_step_schedule is not None:
+            sched = jnp.asarray(self.weights_per_step_schedule, dtype=jnp.int32)
+            return sched[steps]
+        return steps
+
+
+class StreamingTransformer:
+    """Functional transformer; params/state are explicit pytrees."""
+
+    def __init__(self, config: TransformerConfig):
+        self.config = config
+        c = config
+        assert c.d_model % c.num_heads == 0
+        assert c.num_heads % c.kv_repeat == 0
+        self.rope = c.positional_embedding in ("rope", "sin_rope", "rope_concat")
+        self.rope_interleave = c.positional_embedding != "rope_concat"
+        self._norm1 = make_norm(c.norm, c.d_model)
+        self._norm2 = make_norm(c.norm, c.d_model)
+        self._norm_cross = make_norm("layer_norm", c.d_model)
+        self._ls = LayerScale(c.d_model, c.layer_scale) if c.layer_scale is not None else None
+
+    # ------------------------------------------------------------------ params
+    def init_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        """Returns {"layers": <dict of arrays stacked on a [L, ...] axis>}."""
+        return {"layers": self._init_layer_params(key, dtype)}
+
+    def _init_layer_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+        c = self.config
+        L, W, d = c.num_layers, c.num_weights, c.d_model
+        kv_dim = c.head_dim * c.num_kv_heads
+        qkv_out = d + 2 * kv_dim
+        keys = jax.random.split(key, 8)
+
+        def trunc(key, shape, fan_in):
+            std = 1.0 / math.sqrt(fan_in)
+            return (jax.random.truncated_normal(key, -3.0, 3.0, shape, jnp.float32) * std).astype(dtype)
+
+        p = {
+            "attn": {
+                "in_proj": trunc(keys[0], (L, W, d, qkv_out), d),
+                "out_proj": trunc(keys[1], (L, W, d, d), d),
+            },
+            "norm1": _stack_norm_init(self._norm1, L, dtype),
+            "norm2": _stack_norm_init(self._norm2, L, dtype),
+        }
+        if c.gating == "none":
+            p["mlp"] = {
+                "linear1": trunc(keys[2], (L, 1, d, c.dim_feedforward), d),
+                "linear2": trunc(keys[3], (L, 1, c.dim_feedforward, d), c.dim_feedforward),
+            }
+        else:
+            h = c.hidden
+            p["mlp"] = {
+                "linear_in": trunc(keys[2], (L, W, d, 2 * h), d),
+                "linear_out": trunc(keys[3], (L, W, h, d), h),
+            }
+        if self._ls is not None:
+            p["layer_scale_1"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
+            p["layer_scale_2"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
+        if c.cross_attention:
+            p["cross_attn"] = {
+                "in_proj": trunc(keys[4], (L, 1, d, 3 * d), d),
+                "out_proj": trunc(keys[5], (L, 1, d, d), d),
+            }
+            p["norm_cross"] = _stack_norm_init(self._norm_cross, L, dtype)
+            if self._ls is not None:
+                p["layer_scale_cross"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
+        return p
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16,
+                   capacity: int | None = None) -> dict:
+        c = self.config
+        cap = capacity if capacity is not None else c.kv_capacity
+        shape = (c.num_layers, batch_size, cap, c.num_kv_heads, c.head_dim)
+        return {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "offset": jnp.zeros((batch_size,), jnp.int32),
+        }
+
+    def precompute_cross(self, params: dict, src: jax.Array) -> dict:
+        """Precompute per-layer cross-attention K/V from `src` [B, Ts, d]
+        (reference cross-attn KV caching: transformer.py:495-531)."""
+        c = self.config
+        B, Ts, d = src.shape
+
+        def one_layer(pl):
+            kv = dot(src, pl["in_proj"][0, :, d:].astype(src.dtype))  # [B, Ts, 2d]
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(B, Ts, c.num_heads, c.head_dim)
+            v = v.reshape(B, Ts, c.num_heads, c.head_dim)
+            return k, v
+
+        k, v = jax.vmap(one_layer)(params["cross_attn"])
+        return {"k_cross": k, "v_cross": v}
+
+    # ------------------------------------------------------------- layer body
+    def _attention(self, q, k, v, mask):
+        """q: [B, Hq, T, D]; k, v: [B, S, Hkv, D]; mask: broadcastable [B, 1, T, S]."""
+        c = self.config
+        if c.kv_repeat > 1:
+            k = jnp.repeat(k, c.kv_repeat, axis=2)
+            v = jnp.repeat(v, c.kv_repeat, axis=2)
+        scale = 1.0 / math.sqrt(c.head_dim)
+        scores = einsum("bhtd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        scores = scores * scale
+        if mask is not None:
+            scores = jnp.where(mask, scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=-1)
+        out = einsum("bhts,bshd->bthd", w.astype(v.dtype), v)
+        return out.reshape(*out.shape[:2], -1)  # [B, T, Hq*D]
+
+    def _layer(self, pl, x, *, k_cache, v_cache, write_idx, mask, rope_offset,
+               widx, cross_mask_unused=None, k_cross=None, v_cross=None):
+        """One transformer layer.  Returns (y, new_k_cache, new_v_cache).
+
+        k_cache/v_cache: [B, cap, Hkv, D] or None (offline mode — keys are the
+        in-sequence keys, no cache).
+        """
+        c = self.config
+        B, T, d = x.shape
+        H, Hkv, Dh = c.num_heads, c.num_kv_heads, c.head_dim
+
+        # --- self attention
+        h = self._norm1.apply(pl["norm1"], x)
+        qkv = _per_step_linear(pl["attn"]["in_proj"], h, widx)
+        q = qkv[..., :d].reshape(B, T, H, Dh)
+        kk = qkv[..., d:d + Hkv * Dh].reshape(B, T, Hkv, Dh)
+        vv = qkv[..., d + Hkv * Dh:].reshape(B, T, Hkv, Dh)
+
+        if self.rope:
+            qh = q.transpose(0, 2, 1, 3)
+            kh = kk.transpose(0, 2, 1, 3)
+            qh, kh = apply_rope(qh, kh, rope_offset,
+                                max_period=c.max_period,
+                                interleave=self.rope_interleave)
+            q = qh.transpose(0, 2, 1, 3)
+            kk = kh.transpose(0, 2, 1, 3)
+
+        if k_cache is not None:
+            k_cache = k_cache.at[jnp.arange(B)[:, None], write_idx].set(kk.astype(k_cache.dtype))
+            v_cache = v_cache.at[jnp.arange(B)[:, None], write_idx].set(vv.astype(v_cache.dtype))
+            k_att, v_att = k_cache.astype(x.dtype), v_cache.astype(x.dtype)
+        else:
+            k_att, v_att = kk, vv
+
+        attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask)
+        attn = _per_step_linear(pl["attn"]["out_proj"], attn, widx)
+        if "layer_scale_1" in pl:
+            attn = pl["layer_scale_1"]["scale"].astype(attn.dtype) * attn
+        x = x + attn
+
+        # --- cross attention (optional)
+        if k_cross is not None:
+            h = self._norm_cross.apply(pl["norm_cross"], x)
+            qx = dot(h, pl["cross_attn"]["in_proj"][0, :, :d].astype(h.dtype))
+            qx = qx.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+            ca = self._attention(qx, k_cross.astype(x.dtype), v_cross.astype(x.dtype), None)
+            ca = dot(ca, pl["cross_attn"]["out_proj"][0].astype(ca.dtype))
+            if "layer_scale_cross" in pl:
+                ca = pl["layer_scale_cross"]["scale"].astype(ca.dtype) * ca
+            x = x + ca
+
+        # --- feed forward
+        h = self._norm2.apply(pl["norm2"], x)
+        if c.gating == "none":
+            u = dot(h, pl["mlp"]["linear1"][0, 0].astype(h.dtype))
+            u = jax.nn.gelu(u, approximate=False)
+            u = dot(u, pl["mlp"]["linear2"][0, 0].astype(u.dtype))
+        else:
+            u = _per_step_linear(pl["mlp"]["linear_in"], h, widx)
+            a, b = jnp.split(u, 2, axis=-1)
+            u = _activation(c.gating, a) * b
+            u = _per_step_linear(pl["mlp"]["linear_out"], u, widx)
+        if "layer_scale_2" in pl:
+            u = pl["layer_scale_2"]["scale"].astype(u.dtype) * u
+        x = x + u
+        return x, k_cache, v_cache
+
+    # ------------------------------------------------------------------ modes
+    def _pos_embed(self, x: jax.Array, offset: jax.Array) -> jax.Array:
+        c = self.config
+        if c.positional_embedding in ("sin", "sin_rope"):
+            B, T, C = x.shape
+            positions = offset[:, None] + jnp.arange(T, dtype=offset.dtype)[None]
+            pe = create_sin_embedding(positions, C, c.max_period)
+            x = x + (c.positional_scale * pe).astype(x.dtype)
+        return x
+
+    def apply(self, params: dict, x: jax.Array, *,
+              steps: jax.Array | None = None,
+              cross_src: jax.Array | None = None) -> jax.Array:
+        """Offline full-sequence forward (causal sliding-window mask, no cache).
+
+        steps: [T] absolute step indices for weights_per_step models (defaults
+        to arange(T)).
+        """
+        c = self.config
+        B, T, _ = x.shape
+        offset0 = jnp.zeros((B,), jnp.int32)
+        x = self._pos_embed(x, offset0)
+
+        widx = None
+        if c.num_weights > 1:
+            if steps is None:
+                steps = jnp.arange(T, dtype=jnp.int32)
+            widx = c.steps_to_weight_indices(steps)
+
+        mask = None
+        if c.causal:
+            t = jnp.arange(T)
+            delta = t[:, None] - t[None, :]
+            m = delta >= 0
+            if c.context is not None:
+                m &= delta < c.context
+            mask = m[None, None]
+
+        cross = None
+        if cross_src is not None:
+            cross = self.precompute_cross(params, cross_src)
+
+        rope_offset = jnp.zeros((B,), jnp.int32)
+
+        def body(h, xs):
+            if cross is None:
+                pl = xs
+                kc = vc = None
+            else:
+                pl, kc, vc = xs
+            y, _, _ = self._layer(pl, h, k_cache=None, v_cache=None,
+                                  write_idx=None, mask=mask,
+                                  rope_offset=rope_offset, widx=widx,
+                                  k_cross=kc, v_cross=vc)
+            return y, None
+
+        xs = params["layers"] if cross is None else (params["layers"], cross["k_cross"], cross["v_cross"])
+        x, _ = lax.scan(body, x, xs)
+        return x
+
+    def step(self, params: dict, state: dict, x: jax.Array, *,
+             exec_mask: jax.Array | None = None,
+             steps: jax.Array | None = None) -> tuple[jax.Array, dict]:
+        """Streaming forward of T new steps with the ring KV cache."""
+        c = self.config
+        B, T, _ = x.shape
+        offset = state["offset"]
+        cap = state["k"].shape[2]
+        x = self._pos_embed(x, offset)
+
+        widx = None
+        if c.num_weights > 1:
+            if steps is None:
+                steps = jnp.arange(T, dtype=jnp.int32)
+            widx = c.steps_to_weight_indices(steps)
+
+        write_idx = (offset[:, None] + jnp.arange(T, dtype=offset.dtype)) % cap  # [B, T]
+        pos_k, offset_next = ring_positions(offset, T, cap, exec_mask)
+        pos_q = offset[:, None] + jnp.arange(T, dtype=offset.dtype)[None]        # [B, T]
+        delta = pos_q[:, :, None] - pos_k[:, None, :]                            # [B, T, cap]
+        mask = (pos_k[:, None, :] >= 0) & (delta >= 0)
+        if c.context is not None:
+            mask &= delta < c.context
+        mask = mask[:, None]  # [B, 1, T, cap]
+
+        has_cross = "k_cross" in state
+
+        def body(h, xs):
+            if has_cross:
+                pl, kc, vc, kx, vx = xs
+            else:
+                pl, kc, vc = xs
+                kx = vx = None
+            y, kc, vc = self._layer(pl, h, k_cache=kc, v_cache=vc,
+                                    write_idx=write_idx, mask=mask,
+                                    rope_offset=offset, widx=widx,
+                                    k_cross=kx, v_cross=vx)
+            return y, (kc, vc)
+
+        if has_cross:
+            xs = (params["layers"], state["k"], state["v"], state["k_cross"], state["v_cross"])
+        else:
+            xs = (params["layers"], state["k"], state["v"])
+        x, (k_new, v_new) = lax.scan(body, x, xs)
+
+        new_state = dict(state)
+        new_state.update(k=k_new, v=v_new, offset=offset_next)
+        return x, new_state
+
+
+def _stack_norm_init(norm, L: int, dtype) -> dict:
+    p = norm.init_params(jax.random.PRNGKey(0), dtype)
+    return {k: jnp.broadcast_to(v, (L,) + v.shape).copy() for k, v in p.items()}
+
+
+def _activation(name: str, x: jax.Array) -> jax.Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(f"unknown activation {name}")
+
+
+class ProjectedTransformer:
+    """Transformer with optional input/output dimension projections
+    (transformer.py:932-983).  Layout is [B, T, C]; the Mimi model handles the
+    reference's conv_layout [B, C, T] transposes at its API boundary."""
+
+    def __init__(self, config: TransformerConfig, input_dimension: int,
+                 output_dimensions: tuple[int, ...]):
+        self.transformer = StreamingTransformer(config)
+        self.config = config
+        self.input_dimension = input_dimension
+        self.output_dimensions = output_dimensions
+
+    def init_params(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        c = self.config
+        keys = jax.random.split(key, 2 + len(self.output_dimensions))
+        p = {"layers": self.transformer._init_layer_params(keys[0], dtype)}
+        if self.input_dimension != c.d_model:
+            p["input_proj"] = _linear_init(keys[1], self.input_dimension, c.d_model, dtype)
+        outs = []
+        for i, od in enumerate(self.output_dimensions):
+            if od == c.d_model:
+                outs.append({})
+            else:
+                outs.append({"weight": _linear_init(keys[2 + i], c.d_model, od, dtype)["weight"]})
+        p["output_projs"] = outs
+        return p
+
+    def init_state(self, batch_size: int, dtype=jnp.float32) -> dict:
+        return self.transformer.init_state(batch_size, dtype)
+
+    def _project_in(self, params, x):
+        if "input_proj" in params:
+            x = dot(x, params["input_proj"]["weight"].astype(x.dtype))
+        return x
+
+    def _project_out(self, params, z):
+        ys = []
+        for op in params["output_projs"]:
+            ys.append(dot(z, op["weight"].astype(z.dtype)) if "weight" in op else z)
+        return ys
+
+    def apply(self, params: dict, x: jax.Array) -> list[jax.Array]:
+        x = self._project_in(params, x)
+        z = self.transformer.apply({"layers": params["layers"]}, x)
+        return self._project_out(params, z)
+
+    def step(self, params: dict, state: dict, x: jax.Array,
+             exec_mask: jax.Array | None = None) -> tuple[list[jax.Array], dict]:
+        x = self._project_in(params, x)
+        z, state = self.transformer.step({"layers": params["layers"]}, state, x,
+                                         exec_mask=exec_mask)
+        return self._project_out(params, z), state
+
+
+def _linear_init(key: jax.Array, din: int, dout: int, dtype) -> dict:
+    std = 1.0 / math.sqrt(din)
+    w = jax.random.truncated_normal(key, -3.0, 3.0, (din, dout), jnp.float32) * std
+    return {"weight": w.astype(dtype)}
