@@ -1,0 +1,117 @@
+"""Benchmark: full-duplex frame step (Mimi encode -> LM step -> Mimi decode).
+
+Measures the p50 wall-clock per 80 ms frame on the available accelerator and
+prints ONE JSON line {metric, value, unit, vs_baseline}.  Baseline: the
+reference's real-time budget of 80 ms/frame (BASELINE.md; the Rust benchmark
+paces frames at 80 ms: rust/moshi-backend/src/benchmark.rs:130).
+
+vs_baseline is the fraction of the 80 ms budget used (lower is better;
+< 1.0 = real-time capable).
+
+The flagship LM benched here is the Moshi dev-2B architecture
+(configs/moshi_dev_2b.json shapes, bf16), which fits a single v5e chip; the
+7B needs int8 weights or 2-chip tensor parallel (planned; reference itself
+needs a 24 GB GPU in bf16, README.md:108).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def zeros_like_tree(tree):
+    return jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), tree)
+
+
+def build_lm(name: str):
+    from moshi_tpu.models.lm import LmConfig, LMModel
+    if name == "moshi_7b":
+        from moshi_tpu.models.loaders import lm_config_v0_1
+        config = lm_config_v0_1()
+    elif name == "moshi_2b":
+        config = LmConfig(
+            dim=2560, text_card=48000, n_q=32, dep_q=16, card=2048, num_heads=20,
+            num_layers=24, hidden_scale=4.125, context=3000, max_period=100000.0,
+            gating="silu", norm="rms_norm_f32", positional_embedding="rope",
+            depformer_dim=1024, depformer_dim_feedforward=4224,
+            depformer_num_heads=16, depformer_num_layers=6,
+            delays=tuple([0, 0] + [2] * 15 + [0] + [2] * 15))
+    else:
+        raise ValueError(name)
+    model = LMModel(config)
+    shapes = jax.eval_shape(lambda k: model.init_params(k, jnp.bfloat16),
+                            jax.random.PRNGKey(0))
+    return model, zeros_like_tree(shapes)
+
+
+def build_mimi(num_codebooks: int):
+    from moshi_tpu.models.mimi import MimiModel, mimi_v0_1_config
+    model = MimiModel(mimi_v0_1_config(num_codebooks=num_codebooks))
+    shapes = jax.eval_shape(lambda k: model.init_params(k, jnp.float32),
+                            jax.random.PRNGKey(0))
+    params = zeros_like_tree(shapes)
+    return model, params
+
+
+def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
+                      warmup: int = 10) -> dict:
+    from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
+
+    lm, lm_params = build_lm(lm_name)
+    c = lm.config
+    n_in = c.num_codebooks - c.dep_q - 1
+    mimi, mimi_params = build_mimi(max(c.dep_q, n_in))
+    gen = LMGen(lm, LMGenConfig(use_sampling=True))
+
+    B = 1
+    fs = mimi.frame_size
+    lm_state = gen.init_state(B, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    enc_state = mimi.init_encode_state(B)
+    dec_state = mimi.init_decode_state(B)
+
+    @jax.jit
+    def frame(lm_params, mimi_params, lm_state, enc_state, dec_state, pcm):
+        codes, enc_state = mimi.encode_step(mimi_params, enc_state, pcm)
+        kin = codes[:, :n_in] if codes.shape[1] >= n_in else jnp.tile(codes, (1, n_in, 1))
+        out, lm_state = gen.step(lm_params, lm_state, kin)
+        audio_codes = jnp.clip(out[:, 1:1 + mimi.num_codebooks], 0, None)
+        pcm_out, dec_state = mimi.decode_step(mimi_params, dec_state, audio_codes)
+        return lm_state, enc_state, dec_state, pcm_out
+
+    pcm = jnp.zeros((B, 1, fs), jnp.float32)
+    for _ in range(warmup):
+        lm_state, enc_state, dec_state, pcm_out = frame(
+            lm_params, mimi_params, lm_state, enc_state, dec_state, pcm)
+    jax.block_until_ready(pcm_out)
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        lm_state, enc_state, dec_state, pcm_out = frame(
+            lm_params, mimi_params, lm_state, enc_state, dec_state, pcm)
+        jax.block_until_ready(pcm_out)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    return {"metric": f"{lm_name}_full_duplex_step_ms", "value": round(p50, 3),
+            "unit": "ms", "vs_baseline": round(p50 / 80.0, 4)}
+
+
+def main():
+    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_2b"
+    try:
+        result = bench_full_duplex(lm_name)
+    except Exception as e:  # noqa: BLE001 — fall back to a smaller model on OOM
+        if lm_name != "moshi_2b":
+            raise
+        print(f"bench {lm_name} failed ({type(e).__name__}); see stderr",
+              file=sys.stderr)
+        raise
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,4 @@
 from .mimi import MimiConfig, MimiModel, mimi_v0_1_config  # noqa: F401
+from .lm import LmConfig, LMModel  # noqa: F401
+from .lm_gen import LMGen, LMGenConfig  # noqa: F401
+from . import loaders  # noqa: F401

@@ -1,0 +1,417 @@
+"""Checkpoint loading: reference (PyTorch) safetensors -> moshi_tpu pytrees.
+
+Mirrors the reference loader surface (`moshi/moshi/models/loaders.py`):
+`CheckpointInfo` reads the same `config.json` schema (keys at 222-234);
+canonical Mimi hyperparameters at 38-88; weight-name migrations — fused
+`in_proj_weight` splitting (modules/transformer.py:422-446), old RVQ buffer
+names (quantization/core_vq.py:162-176) and weight-norm folding
+(`rust/moshi-core/src/conv.rs:27-45`) — are applied here at conversion time.
+
+Conversion conventions (torch -> ours):
+- Conv1d   [Cout, Cin/g, K]    -> [K, Cin/g, Cout]
+- ConvTr1d [Cin, Cout/g, K]    -> [K, Cin/g, Cout]
+- Linear   [out, in]           -> [in, out]
+- per-step ModuleLists         -> stacked on a leading [W, ...] axis
+- per-layer modules            -> stacked on a leading [L, ...] axis
+- RVQ embedding                = embedding_sum / clamp(cluster_usage, 1e-5)
+"""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mimi import MimiConfig, MimiModel
+from .lm import LmConfig, LMModel
+from ..modules.seanet import SEANetConfig
+from ..modules.transformer import TransformerConfig
+
+SAMPLE_RATE = 24_000
+FRAME_RATE = 12.5
+
+
+# --------------------------------------------------------------------- utils
+def load_safetensors(path: str | Path) -> dict:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(str(path), framework="flax") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _fold_weight_norm(state: dict, key: str):
+    """Fold weight_norm parametrisation if present (conv.rs:27-45)."""
+    g, v = key + "_g", key + "_v"
+    if g in state:
+        wv = state[v]
+        norm = jnp.sqrt(jnp.sum(jnp.square(wv.astype(jnp.float32)),
+                                axis=tuple(range(1, wv.ndim)), keepdims=True))
+        return (state[g].astype(jnp.float32) * wv.astype(jnp.float32) / norm).astype(wv.dtype)
+    # torch >= 2.1 parametrizations naming
+    g2 = key.rsplit(".", 1)
+    pg = g2[0] + ".parametrizations." + g2[1] + ".original0"
+    pv = g2[0] + ".parametrizations." + g2[1] + ".original1"
+    if pg in state:
+        wv = state[pv]
+        norm = jnp.sqrt(jnp.sum(jnp.square(wv.astype(jnp.float32)),
+                                axis=tuple(range(1, wv.ndim)), keepdims=True))
+        return (state[pg].astype(jnp.float32) * wv.astype(jnp.float32) / norm).astype(wv.dtype)
+    return state[key]
+
+
+def _conv_w(state: dict, key: str) -> jnp.ndarray:
+    return jnp.transpose(_fold_weight_norm(state, key), (2, 1, 0))
+
+
+def _convtr_w(state: dict, key: str, groups: int) -> jnp.ndarray:
+    w = _fold_weight_norm(state, key)  # [Cin, Cout/g, K]
+    cin, cout_g, K = w.shape
+    if groups == 1:
+        return jnp.transpose(w, (2, 0, 1))
+    w = w.reshape(groups, cin // groups, cout_g, K)
+    w = jnp.transpose(w, (3, 1, 0, 2))  # [K, Cin/g, g, Cout/g]
+    return w.reshape(K, cin // groups, groups * cout_g)
+
+
+def _lin(state: dict, key: str) -> jnp.ndarray:
+    return state[key].T
+
+
+def _conv_params(state: dict, prefix: str) -> dict:
+    p = {"weight": _conv_w(state, prefix + ".weight")}
+    if prefix + ".bias" in state:
+        p["bias"] = state[prefix + ".bias"]
+    return p
+
+
+def _convtr_params(state: dict, prefix: str, groups: int) -> dict:
+    p = {"weight": _convtr_w(state, prefix + ".weight", groups)}
+    if prefix + ".bias" in state:
+        p["bias"] = state[prefix + ".bias"]
+    return p
+
+
+def _norm_params(state: dict, prefix: str, norm: str) -> dict:
+    if norm.startswith("rms_norm"):
+        return {"scale": state[prefix + ".alpha"].reshape(-1)}
+    p = {"scale": state[prefix + ".weight"]}
+    if prefix + ".bias" in state:
+        p["bias"] = state[prefix + ".bias"]
+    return p
+
+
+def _stack(trees: list) -> dict:
+    """Stack a list of identically-structured dicts on a new leading axis."""
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+# -------------------------------------------------------------- transformer
+def _attn_proj(state: dict, prefix: str, name: str, W: int) -> jnp.ndarray:
+    """Per-step attention projection stack [W, in, out].  Handles both the
+    split `in_projs.{i}.weight` layout and the legacy fused `in_proj_weight`
+    (reference load hook, transformer.py:422-446)."""
+    fused_names = {"in_projs": ["in_proj_weight", "in_proj.weight"],
+                   "out_projs": ["out_proj.weight"]}
+    for fn in fused_names[name]:
+        k = f"{prefix}.{fn}"
+        if k in state:
+            w = state[k]  # [W*out, in]
+            out = w.shape[0] // W
+            return jnp.transpose(w.reshape(W, out, w.shape[1]), (0, 2, 1))
+    ws = [state[f"{prefix}.{name}.{i}.weight"].T for i in range(W)]
+    return jnp.stack(ws)
+
+
+def transformer_layers_from_torch(state: dict, prefix: str,
+                                  cfg: TransformerConfig) -> dict:
+    """Convert `<prefix>.layers.{l}.*` into the stacked [L, ...] pytree."""
+    layers = []
+    for l in range(cfg.num_layers):
+        lp = f"{prefix}.layers.{l}" if prefix else f"layers.{l}"
+        W = cfg.num_weights
+        p = {
+            "attn": {
+                "in_proj": _attn_proj(state, f"{lp}.self_attn", "in_projs", W),
+                "out_proj": _attn_proj(state, f"{lp}.self_attn", "out_projs", W),
+            },
+            "norm1": _norm_params(state, f"{lp}.norm1", cfg.norm),
+            "norm2": _norm_params(state, f"{lp}.norm2", cfg.norm),
+        }
+        if cfg.gating == "none":
+            p["mlp"] = {
+                "linear1": _lin(state, f"{lp}.linear1.weight"),
+                "linear2": _lin(state, f"{lp}.linear2.weight"),
+            }
+        else:
+            if W == 1 and f"{lp}.gating.linear_in.weight" in state:
+                lin_in = _lin(state, f"{lp}.gating.linear_in.weight")[None]
+                lin_out = _lin(state, f"{lp}.gating.linear_out.weight")[None]
+            else:
+                lin_in = jnp.stack([_lin(state, f"{lp}.gating.{s}.linear_in.weight")
+                                    for s in range(W)])
+                lin_out = jnp.stack([_lin(state, f"{lp}.gating.{s}.linear_out.weight")
+                                     for s in range(W)])
+            p["mlp"] = {"linear_in": lin_in, "linear_out": lin_out}
+        if cfg.layer_scale is not None:
+            p["layer_scale_1"] = {"scale": state[f"{lp}.layer_scale_1.scale"]}
+            p["layer_scale_2"] = {"scale": state[f"{lp}.layer_scale_2.scale"]}
+        if cfg.cross_attention:
+            p["cross_attn"] = {
+                "in_proj": _attn_proj(state, f"{lp}.cross_attention", "in_projs", 1),
+                "out_proj": _attn_proj(state, f"{lp}.cross_attention", "out_projs", 1),
+            }
+            p["norm_cross"] = _norm_params(state, f"{lp}.norm_cross", "layer_norm")
+            if cfg.layer_scale is not None:
+                p["layer_scale_cross"] = {"scale": state[f"{lp}.layer_scale_cross.scale"]}
+        layers.append(p)
+    return _stack(layers)
+
+
+def _projected_transformer_from_torch(state: dict, prefix: str, model) -> dict:
+    cfg = model.config
+    p = {"layers": transformer_layers_from_torch(state, f"{prefix}.transformer", cfg)}
+    if f"{prefix}.input_proj.weight" in state:
+        p["input_proj"] = {"weight": _lin(state, f"{prefix}.input_proj.weight")}
+    outs = []
+    for i, od in enumerate(model.output_dimensions):
+        k = f"{prefix}.output_projs.{i}.weight"
+        outs.append({"weight": _lin(state, k)} if k in state else {})
+    p["output_projs"] = outs
+    return p
+
+
+# --------------------------------------------------------------------- seanet
+def _resblock_params(state: dict, prefix: str, block) -> dict:
+    p = {"block": [_conv_params(state, f"{prefix}.block.{2 * j + 1}.conv.conv")
+                   for j in range(len(block.convs))]}
+    if block.shortcut is not None:
+        p["shortcut"] = _conv_params(state, f"{prefix}.shortcut.conv.conv")
+    return p
+
+
+def seanet_from_torch(state: dict, prefix: str, net) -> dict:
+    out = []
+    for (kind, mod, _), ti in zip(net.items, net.torch_indices):
+        base = f"{prefix}.model.{ti}"
+        if kind == "conv":
+            out.append(_conv_params(state, f"{base}.conv.conv"))
+        elif kind == "convtr":
+            out.append(_convtr_params(state, f"{base}.convtr.convtr", mod.groups))
+        else:
+            out.append(_resblock_params(state, base, mod))
+    return {"model": out}
+
+
+# ------------------------------------------------------------------------ RVQ
+def _rvq_params(state: dict, prefix: str, n_q: int, eps: float = 1e-5) -> dict:
+    embs = []
+    for i in range(n_q):
+        cb = f"{prefix}.vq.layers.{i}._codebook"
+        # Support current and legacy buffer names (core_vq.py:162-176).
+        for sum_name, usage_name in (("embedding_sum", "cluster_usage"),
+                                     ("embed_sum", "cluster_usage"),
+                                     ("embed_avg", "cluster_size")):
+            if f"{cb}.{sum_name}" in state:
+                s = state[f"{cb}.{sum_name}"].astype(jnp.float32)
+                u = state[f"{cb}.{usage_name}"].astype(jnp.float32)
+                embs.append(s / jnp.clip(u, eps, None)[:, None])
+                break
+        else:
+            if f"{cb}.embedding" in state:
+                embs.append(state[f"{cb}.embedding"].astype(jnp.float32))
+            else:
+                raise KeyError(f"no codebook buffers under {cb}")
+    p = {"embedding": jnp.stack(embs)}
+    if f"{prefix}.input_proj.weight" in state:
+        p["input_proj"] = state[f"{prefix}.input_proj.weight"][:, :, 0].T
+    if f"{prefix}.output_proj.weight" in state:
+        p["output_proj"] = state[f"{prefix}.output_proj.weight"][:, :, 0].T
+    return p
+
+
+# ----------------------------------------------------------------------- Mimi
+def mimi_params_from_torch_state(model: MimiModel, state: dict) -> dict:
+    q = model.quantizer
+    return {
+        "encoder": seanet_from_torch(state, "encoder", model.encoder),
+        "decoder": seanet_from_torch(state, "decoder", model.decoder),
+        "encoder_transformer": _projected_transformer_from_torch(
+            state, "encoder_transformer", model.encoder_transformer),
+        "decoder_transformer": _projected_transformer_from_torch(
+            state, "decoder_transformer", model.decoder_transformer),
+        "downsample": _conv_params(state, "downsample.conv.conv.conv")
+        if "downsample.conv.conv.conv.weight" in state
+        else _conv_params(state, "downsample.conv.conv"),
+        "upsample": _convtr_params(state, "upsample.convtr.convtr.convtr", model.upsample.convtr.groups)
+        if "upsample.convtr.convtr.convtr.weight" in state
+        else _convtr_params(state, "upsample.convtr.convtr", model.upsample.convtr.groups),
+        "quantizer": {
+            "rvq_first": _rvq_params(state, "quantizer.rvq_first", q.rvq_first.config.n_q),
+            "rvq_rest": _rvq_params(state, "quantizer.rvq_rest", q.rvq_rest.config.n_q),
+        },
+    }
+
+
+def mimi_config_from_dict(d: dict | None, num_codebooks: int = 8) -> MimiConfig:
+    """Build a MimiConfig from the reference `mimi_config` dict schema
+    (loaders.py:81-88), defaulting to the canonical v0.1 hyperparameters."""
+    if d is None:
+        return MimiConfig(num_codebooks=num_codebooks)
+    sn = d.get("seanet", {})
+    tr = d.get("transformer", {})
+    qt = d.get("quantizer", {})
+    seanet = SEANetConfig(
+        channels=sn.get("channels", 1), dimension=sn.get("dimension", 512),
+        n_filters=sn.get("n_filters", 64),
+        n_residual_layers=sn.get("n_residual_layers", 1),
+        ratios=tuple(sn.get("ratios", (8, 6, 5, 4))),
+        kernel_size=sn.get("kernel_size", 7),
+        residual_kernel_size=sn.get("residual_kernel_size", 3),
+        last_kernel_size=sn.get("last_kernel_size", 3),
+        dilation_base=sn.get("dilation_base", 2), compress=sn.get("compress", 2),
+        pad_mode=sn.get("pad_mode", "constant"))
+    transformer = TransformerConfig(
+        d_model=tr.get("d_model", 512), num_heads=tr.get("num_heads", 8),
+        num_layers=tr.get("num_layers", 8),
+        dim_feedforward=tr.get("dim_feedforward", 2048), causal=tr.get("causal", True),
+        context=tr.get("context", 250),
+        positional_embedding=tr.get("positional_embedding", "rope"),
+        max_period=tr.get("max_period", 10_000.0), gating=tr.get("gating", "none"),
+        norm=tr.get("norm", "layer_norm"), layer_scale=tr.get("layer_scale", 0.01))
+    quant = dict(dimension=qt.get("dimension", 256),
+                 input_dimension=qt.get("input_dimension", seanet.dimension),
+                 output_dimension=qt.get("output_dimension", seanet.dimension),
+                 n_q=qt.get("n_q", 32), bins=qt.get("bins", 2048))
+    from ..quantization.vq import RVQConfig
+    return MimiConfig(
+        sample_rate=d.get("sample_rate", 24_000), channels=d.get("channels", 1),
+        frame_rate=d.get("frame_rate", 12.5), seanet=seanet,
+        transformer=transformer, quantizer=RVQConfig(**quant),
+        num_codebooks=num_codebooks)
+
+
+def get_mimi(weights_path: str | Path, mimi_config: dict | None = None,
+             num_codebooks: int = 8) -> tuple[MimiModel, dict]:
+    model = MimiModel(mimi_config_from_dict(mimi_config, num_codebooks))
+    state = load_safetensors(weights_path)
+    params = mimi_params_from_torch_state(model, state)
+    return model, params
+
+
+# ------------------------------------------------------------------------- LM
+def _emb_params(state: dict, prefix: str) -> dict:
+    p = {"weight": state[f"{prefix}.weight"]}
+    if f"{prefix}.low_rank.weight" in state:
+        p["low_rank"] = _lin(state, f"{prefix}.low_rank.weight")
+    return p
+
+
+def lm_params_from_torch_state(model: LMModel, state: dict,
+                               dtype=jnp.bfloat16) -> dict:
+    c = model.config
+    state = {k: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+             for k, v in state.items()}
+    p = {
+        "text_emb": _emb_params(state, "text_emb"),
+        "emb": {"weight": jnp.stack([state[f"emb.{k}.weight"] for k in range(c.n_q)])},
+        "transformer": {"layers": transformer_layers_from_torch(
+            state, "transformer", c.transformer_config)},
+        "out_norm": _norm_params(state, "out_norm", c.norm),
+        "text_linear": {"weight": _lin(state, "text_linear.weight")},
+    }
+    p["out_norm"] = {k: v.astype(jnp.float32) for k, v in p["out_norm"].items()}
+    if c.extra_heads_num_heads:
+        p["extra_heads"] = {"weight": jnp.stack(
+            [_lin(state, f"extra_heads.{i}.weight")
+             for i in range(c.extra_heads_num_heads)])}
+    if model.depformer is not None:
+        p["depformer_in"] = {"weight": jnp.stack(
+            [_lin(state, f"depformer_in.{i}.weight") for i in range(c.num_depformer_in)])}
+        p["depformer_text_emb"] = _emb_params(state, "depformer_text_emb")
+        demb = [_emb_params(state, f"depformer_emb.{k}") for k in range(c.dep_q - 1)]
+        p["depformer_emb"] = _stack(demb)
+        p["depformer"] = {"layers": transformer_layers_from_torch(
+            state, "depformer", c.depformer_config)}
+        p["linears"] = {"weight": jnp.stack(
+            [_lin(state, f"linears.{k}.weight") for k in range(c.dep_q)])}
+    return p
+
+
+def get_moshi_lm(weights_path: str | Path, lm_config: dict | LmConfig | None = None,
+                 dtype=jnp.bfloat16) -> tuple[LMModel, dict]:
+    if lm_config is None:
+        config = lm_config_v0_1()
+    elif isinstance(lm_config, LmConfig):
+        config = lm_config
+    else:
+        config = LmConfig.from_dict(lm_config)
+    model = LMModel(config)
+    state = load_safetensors(weights_path)
+    params = lm_params_from_torch_state(model, state, dtype)
+    return model, params
+
+
+def lm_config_v0_1() -> LmConfig:
+    """The canonical Moshi-7B configuration (loaders.py:90-119)."""
+    return LmConfig(
+        dim=4096, text_card=32000, existing_text_padding_id=3, n_q=16, dep_q=8,
+        card=2048, num_heads=32, num_layers=32, hidden_scale=4.125, causal=True,
+        layer_scale=None, context=3000, max_period=10_000.0, gating="silu",
+        norm="rms_norm_f32", positional_embedding="rope", depformer_dim=1024,
+        depformer_dim_feedforward=int(4.125 * 1024), depformer_num_heads=16,
+        depformer_num_layers=6, depformer_layer_scale=None,
+        depformer_multi_linear=True, depformer_max_period=10_000.0,
+        depformer_gating="silu", depformer_pos_emb="none",
+        depformer_weights_per_step=True,
+        delays=(0, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1))
+
+
+# --------------------------------------------------------------- CheckpointInfo
+class CheckpointInfo:
+    """Parses the reference repository `config.json` (loaders.py:145-280)."""
+
+    def __init__(self, config: dict | None, root: Path | None = None):
+        config = dict(config or {})
+        self.raw_config = dict(config)
+        self.moshi_name = config.pop("moshi_name", "model.safetensors")
+        self.mimi_name = config.pop("mimi_name", "tokenizer-e351c8d8-checkpoint125.safetensors")
+        self.mimi_config_name = config.pop("mimi_config_name", None)
+        self.tokenizer_name = config.pop("tokenizer_name", "tokenizer_spm_32k_3.model")
+        self.lora_name = config.pop("lora_name", None)
+        self.model_type = config.pop("model_type", "moshi")
+        self.lm_gen_config = config.pop("lm_gen_config", {})
+        self.tts_config = config.pop("tts_config", {})
+        self.stt_config = config.pop("stt_config", {})
+        self.model_id = config.pop("model_id", {})
+        self.lm_config = config if config else None
+        self.root = root
+
+    @classmethod
+    def from_dir(cls, path: str | Path) -> "CheckpointInfo":
+        path = Path(path)
+        cfg = None
+        if (path / "config.json").exists():
+            cfg = json.loads((path / "config.json").read_text())
+        return cls(cfg, root=path)
+
+    def num_mimi_codebooks(self) -> int:
+        if self.lm_config is None:
+            return 8
+        n = max(self.lm_config["dep_q"], self.lm_config["n_q"] - self.lm_config["dep_q"])
+        if self.tts_config.get("multistream"):
+            n //= 2
+        return n
+
+    def get_mimi(self):
+        assert self.root is not None
+        mimi_cfg = None
+        if self.mimi_config_name:
+            mimi_cfg = json.loads((self.root / self.mimi_config_name).read_text())
+        return get_mimi(self.root / self.mimi_name, mimi_cfg, self.num_mimi_codebooks())
+
+    def get_moshi(self, dtype=jnp.bfloat16):
+        assert self.root is not None
+        return get_moshi_lm(self.root / self.moshi_name, self.lm_config, dtype)

@@ -159,20 +159,32 @@ class SEANetEncoder(_SEANetBase):
         cfg = config
         ratios = tuple(reversed(cfg.ratios))
         mult = 1
+        # torch_indices mirror the reference nn.Sequential numbering, where
+        # activations occupy their own slots (seanet.py:169-236).
         items: list = [("conv", StreamingConv1d(cfg.channels, mult * cfg.n_filters,
                                                 cfg.kernel_size, pad_mode=cfg.pad_mode), False)]
+        tidx = [0]
+        i = 1
         for ratio in ratios:
             for j in range(cfg.n_residual_layers):
                 items.append(("block", _make_resblock(cfg, mult * cfg.n_filters,
                                                       cfg.dilation_base ** j), False))
+                tidx.append(i)
+                i += 1
+            i += 1  # activation slot
             items.append(("conv", StreamingConv1d(mult * cfg.n_filters,
                                                   mult * cfg.n_filters * 2,
                                                   ratio * 2, stride=ratio,
                                                   pad_mode=cfg.pad_mode), True))
+            tidx.append(i)
+            i += 1
             mult *= 2
+        i += 1  # final activation slot
         items.append(("conv", StreamingConv1d(mult * cfg.n_filters, cfg.dimension,
                                               cfg.last_kernel_size, pad_mode=cfg.pad_mode), True))
+        tidx.append(i)
         self.items = items
+        self.torch_indices = tidx
 
 
 class SEANetDecoder(_SEANetBase):
@@ -184,14 +196,24 @@ class SEANetDecoder(_SEANetBase):
         mult = int(2 ** len(cfg.ratios))
         items: list = [("conv", StreamingConv1d(cfg.dimension, mult * cfg.n_filters,
                                                 cfg.kernel_size, pad_mode=cfg.pad_mode), False)]
+        tidx = [0]
+        i = 1
         for ratio in cfg.ratios:
+            i += 1  # activation slot
             items.append(("convtr", StreamingConvTranspose1d(mult * cfg.n_filters,
                                                              mult * cfg.n_filters // 2,
                                                              ratio * 2, stride=ratio), True))
+            tidx.append(i)
+            i += 1
             for j in range(cfg.n_residual_layers):
                 items.append(("block", _make_resblock(cfg, mult * cfg.n_filters // 2,
                                                       cfg.dilation_base ** j), False))
+                tidx.append(i)
+                i += 1
             mult //= 2
+        i += 1  # final activation slot
         items.append(("conv", StreamingConv1d(cfg.n_filters, cfg.channels,
                                               cfg.last_kernel_size, pad_mode=cfg.pad_mode), True))
+        tidx.append(i)
         self.items = items
+        self.torch_indices = tidx

@@ -191,8 +191,8 @@ class StreamingTransformer:
         }
         if c.gating == "none":
             p["mlp"] = {
-                "linear1": trunc(keys[2], (L, 1, d, c.dim_feedforward), d),
-                "linear2": trunc(keys[3], (L, 1, c.dim_feedforward, d), c.dim_feedforward),
+                "linear1": trunc(keys[2], (L, d, c.dim_feedforward), d),
+                "linear2": trunc(keys[3], (L, c.dim_feedforward, d), c.dim_feedforward),
             }
         else:
             h = c.hidden
@@ -311,9 +311,9 @@ class StreamingTransformer:
         # --- feed forward
         h = self._norm2.apply(pl["norm2"], x)
         if c.gating == "none":
-            u = dot(h, pl["mlp"]["linear1"][0, 0].astype(h.dtype))
+            u = dot(h, pl["mlp"]["linear1"].astype(h.dtype))
             u = jax.nn.gelu(u, approximate=False)
-            u = dot(u, pl["mlp"]["linear2"][0, 0].astype(u.dtype))
+            u = dot(u, pl["mlp"]["linear2"].astype(u.dtype))
         else:
             u = _per_step_linear(pl["mlp"]["linear_in"], h, widx)
             a, b = jnp.split(u, 2, axis=-1)

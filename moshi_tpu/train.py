@@ -1,0 +1,44 @@
+"""Minimal training step for the LM (teacher-forced multi-stream CE).
+
+The reference ships no LM trainer (inference repo; FSDP hints only —
+`modules/transformer.py:357,632`, `loaders.py:426`), so this is a TPU-native
+addition: one jitted step — forward (lm.py:322-377 semantics), per-codebook
+cross entropy (`moshi/moshi/utils/utils.py:7-52`), optax update — shardable
+over a (dp, tp) mesh via `parallel.mesh`.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models.lm import LMModel, cross_entropy
+
+
+def make_loss_fn(model: LMModel):
+    def loss_fn(params, codes):
+        out = model.forward(params, codes)
+        audio_ce = cross_entropy(
+            jnp.nan_to_num(out["logits"]),
+            jnp.clip(codes[:, model.config.audio_offset:
+                           model.config.audio_offset + model.config.dep_q], 0, None),
+            out["mask"])
+        text_ce = cross_entropy(
+            jnp.nan_to_num(out["text_logits"]),
+            jnp.clip(codes[:, :1], 0, None),
+            out["text_mask"])
+        return audio_ce + text_ce, {"audio_ce": audio_ce, "text_ce": text_ce}
+    return loss_fn
+
+
+def make_train_step(model: LMModel, optimizer: optax.GradientTransformation):
+    loss_fn = make_loss_fn(model)
+
+    def train_step(params, opt_state, codes):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, codes)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return train_step

@@ -1,0 +1,150 @@
+"""Streaming transformer tests: streaming == offline, ring-cache wraparound,
+weights-per-step, and behavioral parity against the reference PyTorch
+implementation with identical weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moshi_tpu.modules.transformer import TransformerConfig, StreamingTransformer
+
+
+# Note: streaming == offline holds exactly while the stream fits in the ring
+# capacity (= context).  Past capacity, multi-step chunks evict up to
+# (chunk-1) keys that an edge query could still see — the reference
+# RingKVCache behaves identically (it also evicts on write), so we test
+# chunked equality within capacity and 1-step equality across wraparound.
+CFG = TransformerConfig(d_model=64, num_heads=4, num_layers=3, dim_feedforward=256,
+                        causal=True, context=32, positional_embedding="rope",
+                        gating="silu", norm="rms_norm_f32")
+
+
+def test_streaming_matches_offline():
+    tr = StreamingTransformer(CFG)
+    params = tr.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 2, 24
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, CFG.d_model))
+    y_ref = tr.apply(params, x)
+
+    for chunk in [1, 3, 8]:
+        state = tr.init_state(B, dtype=jnp.float32)
+        ys = []
+        for off in range(0, T, chunk):
+            y, state = tr.step(params, state, x[:, off:off + chunk])
+            ys.append(y)
+        y_stream = jnp.concatenate(ys, axis=1)
+        np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_ring_wraparound_matches_offline():
+    """Run longer than the KV capacity so the ring wraps; the sliding-window
+    mask keeps results identical to the offline context-masked attention."""
+    cfg = TransformerConfig(d_model=32, num_heads=2, num_layers=2, dim_feedforward=64,
+                            causal=True, context=6, positional_embedding="rope",
+                            gating="silu", norm="rms_norm_f32")
+    tr = StreamingTransformer(cfg)
+    params = tr.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 1, 40
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.d_model))
+    y_ref = tr.apply(params, x)
+
+    state = tr.init_state(B, dtype=jnp.float32)
+    ys = []
+    for t in range(T):
+        y, state = tr.step(params, state, x[:, t:t + 1])
+        ys.append(y)
+    y_stream = jnp.concatenate(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_exec_mask_freezes_kv():
+    tr = StreamingTransformer(CFG)
+    params = tr.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B = 2
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (B, 4, CFG.d_model))
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (B, 4, CFG.d_model))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (B, 4, CFG.d_model))
+
+    state = tr.init_state(B, dtype=jnp.float32)
+    _, state = tr.step(params, state, x1)
+    _, state = tr.step(params, state, noise, exec_mask=jnp.array([True, False]))
+    y2, state = tr.step(params, state, x2)
+
+    state_r = tr.init_state(1, dtype=jnp.float32)
+    _, state_r = tr.step(params, state_r, x1[1:])
+    y2r, _ = tr.step(params, state_r, x2[1:])
+    np.testing.assert_allclose(np.asarray(y2[1:]), np.asarray(y2r), rtol=2e-4, atol=2e-4)
+
+
+def test_weights_per_step():
+    cfg = TransformerConfig(d_model=32, num_heads=2, num_layers=2, dim_feedforward=64,
+                            causal=True, context=None, positional_embedding="none",
+                            gating="silu", norm="rms_norm_f32", weights_per_step=4,
+                            weights_per_step_schedule=(0, 1, 1, 2))
+    tr = StreamingTransformer(cfg)
+    params = tr.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert params["layers"]["attn"]["in_proj"].shape[1] == 3  # max(schedule)+1
+    B, T = 2, 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.d_model))
+    y_ref = tr.apply(params, x)
+
+    state = tr.init_state(B, dtype=jnp.float32)
+    ys = []
+    for t in range(T):
+        y, state = tr.step(params, state, x[:, t:t + 1],
+                           steps=jnp.array([t], jnp.int32))
+        ys.append(y)
+    y_stream = jnp.concatenate(ys, axis=1)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("norm,gating,ls", [("rms_norm_f32", "silu", None),
+                                            ("layer_norm", "none", 0.01)])
+def test_parity_with_reference(norm, gating, ls):
+    """Identical weights -> identical outputs vs the PyTorch reference,
+    both offline and streaming step-by-step."""
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference, state_dict_to_numpy
+    ref = import_reference()
+    from moshi.modules.transformer import StreamingTransformer as RefTransformer
+    from moshi_tpu.models.loaders import transformer_layers_from_torch
+
+    d, heads, layers, ctx = 64, 4, 2, 12
+    torch.manual_seed(0)
+    rtr = RefTransformer(d_model=d, num_heads=heads, num_layers=layers,
+                         dim_feedforward=256, causal=True, context=ctx,
+                         positional_embedding="rope", gating=gating, norm=norm,
+                         layer_scale=ls)
+    rtr.eval()
+
+    cfg = TransformerConfig(d_model=d, num_heads=heads, num_layers=layers,
+                            dim_feedforward=256, causal=True, context=ctx,
+                            positional_embedding="rope", gating=gating, norm=norm,
+                            layer_scale=ls)
+    tr = StreamingTransformer(cfg)
+    state_np = state_dict_to_numpy(rtr)
+    state_np = {k: jnp.asarray(v) for k, v in state_np.items()}
+    params = {"layers": transformer_layers_from_torch(state_np, "", cfg)}
+
+    B, T = 2, 20
+    x = np.random.RandomState(0).randn(B, T, d).astype(np.float32)
+    with torch.no_grad():
+        y_ref = rtr(torch.from_numpy(x)).numpy()
+    y = tr.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+
+    # streaming parity
+    with torch.no_grad(), rtr.streaming(B):
+        ys_ref = [rtr(torch.from_numpy(x[:, t:t + 1])).numpy() for t in range(T)]
+    y_ref_s = np.concatenate(ys_ref, axis=1)
+    state = tr.init_state(B, dtype=jnp.float32)
+    ys = []
+    for t in range(T):
+        yt, state = tr.step(params, state, jnp.asarray(x[:, t:t + 1]))
+        ys.append(yt)
+    y_s = np.asarray(jnp.concatenate(ys, axis=1))
+    np.testing.assert_allclose(y_s, y_ref_s, rtol=2e-4, atol=2e-4)
