@@ -1,0 +1,211 @@
+"""Streaming speech-to-text (ASR/STT) engine with word-level timestamps.
+
+Behavioral reference: `rust/moshi-core/src/asr.rs` (State/ItemState, 15-264):
+- per-item 1-step delayed audio feeding via `next_token` (44-52: returns the
+  previous frame's token, pad on the first step);
+- text token fed back each step (text start token on the first step);
+- after `asr_delay_in_tokens` steps: pad(3)/epad(0) flush the accumulated
+  word as `Word{tokens, start_time}`; epad also emits
+  `EndWord{stop_time = (step - delay)/12.5}` (242-249);
+- extra-head probabilities emitted as `Step` messages (195-207);
+- per-slot reset for batched serving (256-264).
+
+The device work per 80 ms frame is one jitted temporal-transformer step +
+argmax/sample; the word state machine runs on host (it produces strings).
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lm import LMModel
+from .mimi import MimiModel
+from ..utils.sampling import sample_token
+
+
+@dataclass
+class AsrWord:
+    tokens: list
+    start_time: float
+    batch_idx: int
+    text: str | None = None
+
+
+@dataclass
+class AsrEndWord:
+    stop_time: float
+    batch_idx: int
+
+
+@dataclass
+class AsrStep:
+    step_idx: int
+    prs: np.ndarray  # [num_extra_heads, B]
+
+
+@dataclass
+class _ItemState:
+    audio_pad_token: int
+    n_codebooks: int
+    step_idx: int = 0
+    text_token: int = 0
+    word_tokens: list = field(default_factory=list)
+    unended_word: bool = False
+    last_stop_time: float = 0.0
+    next_codebooks: np.ndarray = None
+
+    def __post_init__(self):
+        self.reset()
+
+    def reset(self):
+        self.step_idx = 0
+        self.text_token = 0
+        self.word_tokens = []
+        self.unended_word = False
+        self.last_stop_time = 0.0
+        self.next_codebooks = np.full((self.n_codebooks,), self.audio_pad_token,
+                                      np.int32)
+
+    def next_token(self, tokens: np.ndarray) -> np.ndarray:
+        prev = self.next_codebooks.copy()
+        self.next_codebooks = tokens.astype(np.int32)
+        if self.step_idx == 0:
+            return np.full_like(prev, self.audio_pad_token)
+        return prev
+
+
+class StreamingASR:
+    def __init__(self, mimi: MimiModel, lm: LMModel, batch_size: int,
+                 asr_delay_in_tokens: int, temperature: float = 0.0,
+                 text_tokenizer=None, frame_rate: float = 12.5):
+        self.mimi = mimi
+        self.lm = lm
+        self.batch_size = batch_size
+        self.asr_delay_in_tokens = asr_delay_in_tokens
+        self.temperature = temperature
+        self.text_tokenizer = text_tokenizer
+        self.frame_rate = frame_rate
+        c = lm.config
+        self.audio_pad_token = c.initial_token_id  # audio "start/pad" = card
+        self.text_start_token = c.text_initial_token_id
+        self.n_codebooks = c.n_q
+        self.items = [_ItemState(self.audio_pad_token, self.n_codebooks)
+                      for _ in range(batch_size)]
+        self.model_step_idx = 0
+        self._step_fn = jax.jit(self._device_step)
+
+    # ------------------------------------------------------------- device part
+    def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
+        """tokens: [B, 1+n_q, 1].  One temporal step + text sampling."""
+        h, text_logits, tr_state = self.lm.forward_text_step(
+            lm_params, tr_state, tokens, exec_mask=exec_mask)
+        if self.temperature <= 0.0:
+            text_token = jnp.argmax(text_logits[:, 0, 0].astype(jnp.float32), axis=-1)
+        else:
+            rng, krng = jax.random.split(rng)
+            text_token = sample_token(krng, text_logits[:, 0, 0], use_sampling=True,
+                                      temp=self.temperature)
+        probs = self.lm.extra_head_probs(lm_params, h)
+        pr_first = None if probs is None else probs[:, :, 0, 0]  # [n_heads, B]
+        return text_token.astype(jnp.int32), pr_first, tr_state, rng
+
+    # --------------------------------------------------------------- state mgmt
+    def init_state(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
+        return {
+            "mimi": self.mimi.init_encode_state(self.batch_size),
+            "transformer": self.lm.transformer.init_state(self.batch_size, dtype),
+            "rng": rng,
+        }
+
+    def reset_batch_idx(self, state: dict, batch_idx: int) -> dict:
+        from ..utils.trees import masked_reset
+        self.items[batch_idx].reset()
+        mask = np.zeros((self.batch_size,), bool)
+        mask[batch_idx] = True
+        mask = jnp.asarray(mask)
+        init = {
+            "mimi": self.mimi.init_encode_state(self.batch_size),
+            "transformer": self.lm.transformer.init_state(
+                self.batch_size, state["transformer"]["k"].dtype),
+        }
+        new = dict(state)
+        new["mimi"] = masked_reset(state["mimi"], init["mimi"], mask)
+        new["transformer"] = masked_reset(state["transformer"], init["transformer"], mask)
+        return new
+
+    # ---------------------------------------------------------------- stepping
+    def step_pcm(self, mimi_params, lm_params, state: dict, pcm,
+                 exec_mask=None) -> tuple[list, dict]:
+        """pcm: [B, 1, n*frame_size] -> (messages, new state)."""
+        codes, mimi_state = self.mimi.encode_step(mimi_params, state["mimi"],
+                                                  jnp.asarray(pcm), exec_mask)
+        state = dict(state)
+        state["mimi"] = mimi_state
+        msgs, state = self.step_tokens(lm_params, state, np.asarray(codes), exec_mask)
+        return msgs, state
+
+    def step_tokens(self, lm_params, state: dict, audio_tokens: np.ndarray,
+                    exec_mask=None) -> tuple[list, dict]:
+        """audio_tokens: [B, K, steps] int."""
+        B, K, steps = audio_tokens.shape
+        assert B == self.batch_size
+        if exec_mask is None:
+            exec_np = np.ones((B,), bool)
+        else:
+            exec_np = np.asarray(exec_mask)
+        msgs: list = []
+        tr_state, rng = state["transformer"], state["rng"]
+        for s in range(steps):
+            # assemble delayed inputs on host (asr.rs:167-190)
+            audio_in = np.zeros((B, self.n_codebooks), np.int32)
+            text_in = np.zeros((B,), np.int32)
+            for b, item in enumerate(self.items):
+                if not exec_np[b]:
+                    audio_in[b] = 0
+                    text_in[b] = self.text_start_token
+                    continue
+                toks = audio_tokens[b, :, s]
+                if K < self.n_codebooks:
+                    toks = np.concatenate([toks, np.full(
+                        (self.n_codebooks - K,), self.audio_pad_token, np.int32)])
+                audio_in[b] = item.next_token(toks[:self.n_codebooks])
+                text_in[b] = (self.text_start_token if item.step_idx == 0
+                              else item.text_token)
+            tokens = np.concatenate([text_in[:, None], audio_in], axis=1)[:, :, None]
+
+            text_token, pr_first, tr_state, rng = self._step_fn(
+                lm_params, tr_state, jnp.asarray(tokens), rng,
+                None if exec_mask is None else jnp.asarray(exec_np))
+            self.model_step_idx += 1
+            if pr_first is not None:
+                msgs.append(AsrStep(self.model_step_idx, np.asarray(pr_first)))
+
+            text_np = np.asarray(text_token)
+            for b, item in enumerate(self.items):
+                if not exec_np[b]:
+                    continue
+                item.text_token = int(text_np[b])
+                item.step_idx += 1
+                if item.step_idx >= self.asr_delay_in_tokens:
+                    t = item.text_token
+                    if t in (0, 3):
+                        if item.word_tokens:
+                            word = AsrWord(item.word_tokens, item.last_stop_time, b)
+                            if self.text_tokenizer is not None:
+                                word.text = self.text_tokenizer.decode(word.tokens)
+                            msgs.append(word)
+                            item.word_tokens = []
+                            item.unended_word = True
+                    else:
+                        item.word_tokens.append(t)
+                    if t == 0:
+                        stop_time = (item.step_idx - self.asr_delay_in_tokens) / self.frame_rate
+                        if item.unended_word:
+                            item.unended_word = False
+                            msgs.append(AsrEndWord(stop_time, b))
+                        item.last_stop_time = stop_time
+        new_state = dict(state)
+        new_state.update(transformer=tr_state, rng=rng)
+        return msgs, new_state

@@ -13,6 +13,11 @@ _REF_PATH = "/root/reference/moshi"
 def import_reference():
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
+    if "sphn" not in sys.modules:
+        try:
+            import sphn  # noqa: F401
+        except ImportError:
+            sys.modules["sphn"] = types.ModuleType("sphn")
     if "sentencepiece" not in sys.modules:
         sp = types.ModuleType("sentencepiece")
 
