@@ -1,0 +1,188 @@
+"""Full-duplex websocket server, wire-compatible with the reference protocol.
+
+Behavioral reference: `moshi/moshi/server.py` — `ServerState` (39-169):
+models in streaming mode with a single-session asyncio lock (160), 4-frame
+warmup (62-72), recv loop: opus -> PCM buffer -> frame-size chunks -> encode
+-> `lm_gen.step` -> decode -> opus out; first-frame skip + encoder reset
+(136-142).  Binary protocol per `rust/protocol.md`: `\\x00` handshake,
+`\\x01` audio (ogg-opus), `\\x02` text.
+
+The opus side uses the native C++ `moshi_native` codec (analog of sphn).
+"""
+
+import argparse
+import asyncio
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loaders import CheckpointInfo
+from ..models.lm_gen import LMGen, LMGenConfig
+from ..models.lm import UNGENERATED_TOKEN
+
+
+def log(level: str, msg: str):
+    print(f"[{level}] {msg}", flush=True)
+
+
+class ServerState:
+    def __init__(self, checkpoint_info: CheckpointInfo, mimi, mimi_params,
+                 lm, lm_params, text_tokenizer, cfg_coef: float = 1.0,
+                 rng_seed: int = 0, **lm_gen_kwargs):
+        self.info = checkpoint_info
+        self.mimi, self.mimi_params = mimi, mimi_params
+        self.lm, self.lm_params = lm, lm_params
+        self.text_tokenizer = text_tokenizer
+        self.frame_size = mimi.frame_size
+        self.lm_gen = LMGen(lm, LMGenConfig.from_dict(
+            {**lm_gen_kwargs, "cfg_coef": cfg_coef}))
+        self.lock = asyncio.Lock()
+        self.rng_seed = rng_seed
+
+        self._encode = jax.jit(self.mimi.encode_step)
+        self._decode = jax.jit(self.mimi.decode_step)
+        self._step = jax.jit(self.lm_gen.step)
+        self.reset()
+
+    def reset(self):
+        self.enc_state = self.mimi.init_encode_state(1)
+        self.dec_state = self.mimi.init_decode_state(1)
+        self.gen_state = self.lm_gen.init_state(1, jax.random.PRNGKey(self.rng_seed))
+
+    def warmup(self):
+        """Compile all jitted steps with 4 zero frames (server.py:62-72)."""
+        for _ in range(4):
+            chunk = jnp.zeros((1, 1, self.frame_size), jnp.float32)
+            codes, self.enc_state = self._encode(self.mimi_params, self.enc_state, chunk)
+            out, self.gen_state = self._step(self.lm_params, self.gen_state, codes)
+            if (np.asarray(out) != UNGENERATED_TOKEN).all():
+                _, self.dec_state = self._decode(self.mimi_params, self.dec_state,
+                                                 jnp.clip(out[:, 1:], 0, None))
+        self.reset()
+
+    def step_frame(self, chunk: np.ndarray):
+        """One 80 ms frame: encode -> lm step -> decode.
+        Returns (pcm [T] float32 | None, text_token | None)."""
+        codes, self.enc_state = self._encode(self.mimi_params, self.enc_state,
+                                             jnp.asarray(chunk)[None, None])
+        out, self.gen_state = self._step(self.lm_params, self.gen_state, codes)
+        out_np = np.asarray(out)
+        if (out_np == UNGENERATED_TOKEN).any():
+            return None, None
+        pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state,
+                                           jnp.clip(out[:, 1:], 0, None))
+        return np.asarray(pcm)[0, 0], int(out_np[0, 0, 0])
+
+    def reset_encoder(self):
+        self.enc_state = self.mimi.init_encode_state(1)
+
+    # ---------------------------------------------------------------- serving
+    async def handle_chat(self, request):
+        from aiohttp import web, WSMsgType
+        from .. import moshi_native
+
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        log("info", "accepted connection")
+        async with self.lock:
+            opus_writer = moshi_native.OpusStreamWriter(self.mimi.sample_rate)
+            opus_reader = moshi_native.OpusStreamReader(self.mimi.sample_rate)
+            self.reset()
+            await ws.send_bytes(b"\x00")
+            try:
+                await self._recv_loop(ws, opus_reader, opus_writer)
+            finally:
+                log("info", "connection closed")
+        return ws
+
+    async def _recv_loop(self, ws, opus_reader, opus_writer):
+        from aiohttp import WSMsgType
+        all_pcm = np.zeros((0,), np.float32)
+        skip_frames = 1
+        async for message in ws:
+            if message.type in (WSMsgType.ERROR, WSMsgType.CLOSED):
+                break
+            if message.type != WSMsgType.BINARY or len(message.data) == 0:
+                continue
+            data = message.data
+            kind = data[0]
+            if kind != 1:
+                continue
+            pcm = np.frombuffer(opus_reader.append_bytes(data[1:]), np.float32)
+            if pcm.size == 0:
+                continue
+            all_pcm = np.concatenate([all_pcm, pcm])
+            while all_pcm.shape[-1] >= self.frame_size:
+                t0 = time.time()
+                chunk, all_pcm = all_pcm[:self.frame_size], all_pcm[self.frame_size:]
+                if skip_frames:
+                    # First input frame is in the past from the model's view;
+                    # re-apply encoder left padding on the next call
+                    # (server.py:136-142).
+                    _ = self._encode(self.mimi_params, self.enc_state,
+                                     jnp.asarray(chunk)[None, None])
+                    self.reset_encoder()
+                    skip_frames -= 1
+                    continue
+                out_pcm, text_token = self.step_frame(chunk)
+                if out_pcm is None:
+                    continue
+                opus_bytes = opus_writer.append_pcm(
+                    np.ascontiguousarray(out_pcm, np.float32))
+                if opus_bytes:
+                    await ws.send_bytes(b"\x01" + opus_bytes)
+                if text_token not in (0, 3) and self.text_tokenizer is not None:
+                    text = self.text_tokenizer.id_to_piece(text_token)
+                    text = text.replace("▁", " ")
+                    await ws.send_bytes(b"\x02" + text.encode("utf-8"))
+                log("info", f"frame handled in {1000 * (time.time() - t0):.1f}ms")
+
+
+def main():
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", default=8998, type=int)
+    parser.add_argument("--checkpoint-dir", required=True,
+                        help="Directory with config.json + safetensors weights.")
+    parser.add_argument("--cfg-coef", type=float, default=1.0)
+    parser.add_argument("--static", type=str, default=None)
+    args = parser.parse_args()
+
+    info = CheckpointInfo.from_dir(args.checkpoint_dir)
+    log("info", "loading mimi")
+    mimi, mimi_params = info.get_mimi()
+    log("info", "loading moshi")
+    lm, lm_params = info.get_moshi()
+    tokenizer = None
+    tok_path = Path(args.checkpoint_dir) / info.tokenizer_name
+    if tok_path.exists():
+        from ..text.spm import SentencePieceTokenizer
+        tokenizer = SentencePieceTokenizer(tok_path)
+
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
+                        args.cfg_coef, **info.lm_gen_config)
+    log("info", "warming up")
+    state.warmup()
+
+    app = web.Application()
+    app.router.add_get("/api/chat", state.handle_chat)
+    if args.static:
+        import os
+
+        async def handle_root(_):
+            return web.FileResponse(os.path.join(args.static, "index.html"))
+
+        app.router.add_get("/", handle_root)
+        app.router.add_static("/", path=args.static, follow_symlinks=True,
+                              name="static")
+    log("info", f"serving at http://{args.host}:{args.port}")
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

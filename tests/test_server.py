@@ -1,0 +1,171 @@
+"""End-to-end serving test: write a tiny checkpoint in the reference on-disk
+format (config.json + safetensors from actual reference torch modules), load
+it through CheckpointInfo, run the websocket server, and talk the binary
+ogg-opus protocol to it."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+    from refutil import import_reference
+    import_reference()
+    from moshi.modules import SEANetEncoder, SEANetDecoder
+    from moshi.modules import transformer as ref_transformer
+    from moshi.quantization import SplitResidualVectorQuantizer
+    from moshi.models import compression as ref_compression
+    from test_lm import tiny_lm_config, _build_reference_lm
+
+    root = tmp_path_factory.mktemp("ckpt")
+
+    # ---- tiny Mimi at 24 kHz (hop 24 -> encoder 1000 Hz -> stride 80)
+    sn = dict(channels=1, dimension=32, causal=True, n_filters=4,
+              n_residual_layers=1, activation="ELU", compress=2, dilation_base=2,
+              disable_norm_outer_blocks=0, kernel_size=7, residual_kernel_size=3,
+              last_kernel_size=3, norm="none", pad_mode="constant",
+              ratios=[4, 3, 2], true_skip=True)
+    trk = dict(d_model=32, num_heads=2, num_layers=1, causal=True, layer_scale=0.01,
+               context=25, conv_layout=True, max_period=10000, gating="none",
+               norm="layer_norm", positional_embedding="rope", dim_feedforward=64,
+               input_dimension=32, output_dimensions=[32])
+    qk = dict(dimension=16, n_q=4, bins=32, input_dimension=32, output_dimension=32)
+    torch.manual_seed(0)
+    quantizer = SplitResidualVectorQuantizer(**qk)
+    with torch.no_grad():
+        for rvq in (quantizer.rvq_first, quantizer.rvq_rest):
+            for layer in rvq.vq.layers:
+                cb = layer._codebook
+                cb.embedding_sum.normal_()
+                cb.cluster_usage.uniform_(0.5, 2.0)
+                cb._initialized.fill_(1)
+    rmimi = ref_compression.MimiModel(
+        SEANetEncoder(**sn), SEANetDecoder(**sn), quantizer, channels=1,
+        sample_rate=24000, frame_rate=12.5, encoder_frame_rate=1000, causal=True,
+        resample_method="conv",
+        encoder_transformer=ref_transformer.ProjectedTransformer(**trk),
+        decoder_transformer=ref_transformer.ProjectedTransformer(**trk)).eval()
+    save_file(rmimi.state_dict(), str(root / "mimi.safetensors"))
+    mimi_config = dict(sample_rate=24000, channels=1, frame_rate=12.5,
+                       seanet={k: v for k, v in sn.items()
+                               if k not in ("activation", "causal", "norm",
+                                            "disable_norm_outer_blocks", "true_skip")},
+                       transformer=dict(d_model=32, num_heads=2, num_layers=1,
+                                        causal=True, layer_scale=0.01, context=25,
+                                        max_period=10000, gating="none",
+                                        norm="layer_norm",
+                                        positional_embedding="rope",
+                                        dim_feedforward=64),
+                       quantizer=qk)
+    (root / "mimi_config.json").write_text(json.dumps(mimi_config))
+
+    # ---- tiny LM
+    cfg = tiny_lm_config()
+    ref_lm = _build_reference_lm(torch, cfg)
+    save_file(ref_lm.state_dict(), str(root / "model.safetensors"))
+
+    lm_config = dict(
+        dim=cfg.dim, num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+        hidden_scale=cfg.hidden_scale, n_q=cfg.n_q, dep_q=cfg.dep_q,
+        card=cfg.card, text_card=cfg.text_card, norm=cfg.norm,
+        context=cfg.context, causal=True, max_period=cfg.max_period,
+        gating=cfg.gating, positional_embedding=cfg.positional_embedding,
+        depformer_dim=cfg.depformer_dim,
+        depformer_num_heads=cfg.depformer_num_heads,
+        depformer_num_layers=cfg.depformer_num_layers,
+        depformer_dim_feedforward=cfg.depformer_dim_feedforward,
+        depformer_gating=cfg.depformer_gating,
+        depformer_pos_emb=cfg.depformer_pos_emb,
+        depformer_multi_linear=cfg.depformer_multi_linear,
+        depformer_weights_per_step=cfg.depformer_weights_per_step,
+        delays=list(cfg.delays),
+        moshi_name="model.safetensors", mimi_name="mimi.safetensors",
+        mimi_config_name="mimi_config.json", model_type="moshi",
+        lm_gen_config={"temp": 0.8, "temp_text": 0.7},
+    )
+    (root / "config.json").write_text(json.dumps(lm_config))
+    return root
+
+
+def test_checkpoint_dir_loads(tiny_checkpoint):
+    from moshi_tpu.models.loaders import CheckpointInfo
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi()
+    assert mimi.frame_size == 1920
+    assert lm.config.dim == 32
+    # codes from the loaded mimi must be valid
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 1, 1920 * 2))
+    codes = mimi.encode(mimi_params, x)
+    assert codes.shape == (1, mimi.num_codebooks, 2)
+
+
+def test_websocket_server_roundtrip(tiny_checkpoint):
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu import moshi_native
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/api/chat")
+            first = await ws.receive_bytes()
+            assert first == b"\x00"  # handshake
+
+            writer = moshi_native.OpusStreamWriter(mimi.sample_rate)
+            rs = np.random.RandomState(0)
+            got_audio = []
+            nframes = 8
+            for i in range(nframes):
+                pcm = (rs.randn(1920) * 0.05).astype(np.float32)
+                data = writer.append_pcm(pcm)
+                if data:
+                    await ws.send_bytes(b"\x01" + data)
+                # drain anything available
+                while True:
+                    try:
+                        msg = await asyncio.wait_for(ws.receive(), timeout=0.05)
+                    except asyncio.TimeoutError:
+                        break
+                    if msg.type == aiohttp.WSMsgType.BINARY and msg.data[:1] == b"\x01":
+                        got_audio.append(msg.data[1:])
+            # allow trailing responses
+            for _ in range(20):
+                try:
+                    msg = await asyncio.wait_for(ws.receive(), timeout=0.3)
+                except asyncio.TimeoutError:
+                    break
+                if msg.type == aiohttp.WSMsgType.BINARY and msg.data[:1] == b"\x01":
+                    got_audio.append(msg.data[1:])
+            await ws.close()
+            assert got_audio, "server produced no audio"
+            reader = moshi_native.OpusStreamReader(mimi.sample_rate)
+            pcm_out = np.frombuffer(reader.append_bytes(b"".join(got_audio)),
+                                    np.float32)
+            assert pcm_out.size > 0
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
