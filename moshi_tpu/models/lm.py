@@ -28,6 +28,7 @@ from ..modules.norm import make_norm
 from ..modules.transformer import TransformerConfig, StreamingTransformer
 from ..utils.matmul import dot, einsum
 from ..utils.sampling import sample_token
+from ..utils.quantize import take0
 
 
 ZERO_TOKEN = -1        # embeds to exactly 0 (lm.py:266-269)
@@ -340,8 +341,8 @@ class LMModel:
         dd = c.depformer_dim
         win = params["depformer_in"]["weight"]  # [num_in, dim, dd]
         idx = c.depformer_in_index(jnp.arange(c.dep_q))
-        win = jnp.take(win, idx, axis=0)  # [dep_q, dim, dd]
-        tr_in = einsum("btd,kde->bkte", h, win.astype(h.dtype))  # [B, dep_q, T, dd]
+        win = take0(win, idx).astype(h.dtype)  # [dep_q, dim, dd]
+        tr_in = einsum("btd,kde->bkte", h, win)  # [B, dep_q, T, dd]
 
         tok_in = [embed(params["depformer_text_emb"], delayed[:, 0], tr_in.dtype)]
         demb = params["depformer_emb"]
@@ -380,8 +381,8 @@ class LMModel:
 
         win = params["depformer_in"]["weight"]
         idx = c.depformer_in_index(jnp.arange(c.dep_q))
-        win = jnp.take(win, idx, axis=0)  # [dep_q, dim, dd]
-        tr_in = einsum("bd,kde->kbe", h[:, 0], win.astype(h.dtype))  # [dep_q, B_model, dd]
+        win = take0(win, idx).astype(h.dtype)  # [dep_q, dim, dd]
+        tr_in = einsum("bd,kde->kbe", h[:, 0], win)  # [dep_q, B_model, dd]
 
         dep_state = self.depformer.init_state(B_model, dtype=h.dtype)
         first_emb = embed(params["depformer_text_emb"], text_token, h.dtype)  # [B, dd]

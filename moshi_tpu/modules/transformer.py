@@ -32,6 +32,7 @@ from jax import lax
 
 from .norm import make_norm, LayerScale
 from ..utils.matmul import dot, einsum
+from ..utils.quantize import take0
 from .rope import apply_rope
 
 
@@ -60,7 +61,7 @@ def _per_step_linear(w: jax.Array, x: jax.Array,
     if w.shape[0] == 1:
         return dot(x, w[0].astype(x.dtype))
     assert idx is not None, "weights_per_step requires step indices"
-    wt = jnp.take(w, idx, axis=0).astype(x.dtype)  # [T, din, dout]
+    wt = take0(w, idx).astype(x.dtype)  # [T, din, dout]
     return einsum("btd,tdo->bto", x, wt)
 
 
