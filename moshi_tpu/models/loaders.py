@@ -341,15 +341,23 @@ def lm_params_from_torch_state(model: LMModel, state: dict,
 
 
 def get_moshi_lm(weights_path: str | Path, lm_config: dict | LmConfig | None = None,
-                 dtype=jnp.bfloat16) -> tuple[LMModel, dict]:
+                 dtype=jnp.bfloat16, lora_weights: str | Path | None = None,
+                 lora_scaling: float = 2.0) -> tuple[LMModel, dict]:
     if lm_config is None:
         config = lm_config_v0_1()
     elif isinstance(lm_config, LmConfig):
         config = lm_config
     else:
+        lm_config = dict(lm_config)
+        if lora_weights is None and lm_config.get("lora"):
+            raise ValueError("config requires LoRA weights (lora=true)")
+        lora_scaling = lm_config.get("lora_scaling", lora_scaling)
         config = LmConfig.from_dict(lm_config)
     model = LMModel(config)
     state = load_safetensors(weights_path)
+    if lora_weights is not None:
+        from .lora import fuse_lora_state
+        state = fuse_lora_state(state, load_safetensors(lora_weights), lora_scaling)
     params = lm_params_from_torch_state(model, state, dtype)
     return model, params
 
@@ -414,4 +422,6 @@ class CheckpointInfo:
 
     def get_moshi(self, dtype=jnp.bfloat16):
         assert self.root is not None
-        return get_moshi_lm(self.root / self.moshi_name, self.lm_config, dtype)
+        lora = self.root / self.lora_name if self.lora_name else None
+        return get_moshi_lm(self.root / self.moshi_name, self.lm_config, dtype,
+                            lora_weights=lora)
