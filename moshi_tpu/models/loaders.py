@@ -423,5 +423,11 @@ class CheckpointInfo:
     def get_moshi(self, dtype=jnp.bfloat16):
         assert self.root is not None
         lora = self.root / self.lora_name if self.lora_name else None
-        return get_moshi_lm(self.root / self.moshi_name, self.lm_config, dtype,
-                            lora_weights=lora)
+        model, params = get_moshi_lm(self.root / self.moshi_name, self.lm_config,
+                                     dtype, lora_weights=lora)
+        if self.model_type == "hibiki":
+            # Hibiki sometimes samples EOS (2) too early; replace its embedding
+            # with PAD's so early EOS acts as PAD (reference loaders.py:308-313).
+            w = params["text_emb"]["weight"]
+            params["text_emb"]["weight"] = w.at[2].set(w[3])
+        return model, params
