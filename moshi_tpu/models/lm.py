@@ -170,10 +170,27 @@ class LmConfig:
 def embed(table_params: dict, tokens: jax.Array, dtype=None) -> jax.Array:
     """ScaledEmbedding semantics (models/lm_utils.py:66-124): token -1 embeds
     to exactly zero; negative tokens are clamped before lookup; optional
-    low-rank expansion."""
+    low-rank expansion; optional demuxing of a second muxed stream
+    (`(tok2 + 1) * card + tok1`, lm_utils.py:102-116) through the out1/out2
+    linears."""
     w = table_params["weight"]
     is_zero = tokens == ZERO_TOKEN
-    y = jnp.take(w, jnp.clip(tokens, 0, None), axis=0)
+    tokens = jnp.clip(tokens, 0, None)
+    if "out1" in table_params:  # demux_second_stream
+        card = w.shape[0]
+        left = tokens % card
+        right = tokens // card - 1
+        right_zero = (right < 0)[..., None]
+        le = jnp.take(w, left, axis=0)
+        re = jnp.take(w, jnp.clip(right, 0, None), axis=0)
+        y = dot(le, table_params["out1"].astype(le.dtype))
+        y = y + jnp.where(right_zero, jnp.zeros((), y.dtype),
+                          dot(re, table_params["out2"].astype(re.dtype)))
+        y = jnp.where(is_zero[..., None], jnp.zeros((), y.dtype), y)
+        if dtype is not None:
+            y = y.astype(dtype)
+        return y
+    y = jnp.take(w, tokens, axis=0)
     y = jnp.where(is_zero[..., None], jnp.zeros((), y.dtype), y)
     if "low_rank" in table_params:
         y = dot(y, table_params["low_rank"])

@@ -306,6 +306,9 @@ def _emb_params(state: dict, prefix: str) -> dict:
     p = {"weight": state[f"{prefix}.weight"]}
     if f"{prefix}.low_rank.weight" in state:
         p["low_rank"] = _lin(state, f"{prefix}.low_rank.weight")
+    if f"{prefix}.out1.weight" in state:  # demux_second_stream (lm_utils.py:95-116)
+        p["out1"] = _lin(state, f"{prefix}.out1.weight")
+        p["out2"] = _lin(state, f"{prefix}.out2.weight")
     return p
 
 

@@ -258,12 +258,14 @@ class StreamingTransformer:
         out = einsum("bhts,bshd->bthd", w.astype(v.dtype), v)
         return out.reshape(*out.shape[:2], -1)  # [B, T, Hq*D]
 
-    def _layer(self, pl, x, *, k_cache, v_cache, write_idx, mask, rope_offset,
-               widx, cross_mask_unused=None, k_cross=None, v_cross=None):
-        """One transformer layer.  Returns (y, new_k_cache, new_v_cache).
+    def _layer(self, pl, x, *, complete_kv, mask, rope_offset,
+               widx, k_cross=None, v_cross=None):
+        """One transformer layer.  Returns y.
 
-        k_cache/v_cache: [B, cap, Hkv, D] or None (offline mode — keys are the
-        in-sequence keys, no cache).
+        complete_kv(kk, vv) -> (k_att, v_att): injected KV-cache completion —
+        identity for offline mode; in streaming mode it scatters the new rows
+        into the (in-place, scan-carried) ring cache and returns the full
+        cache view.
         """
         c = self.config
         B, T, d = x.shape
@@ -285,12 +287,7 @@ class StreamingTransformer:
             q = qh.transpose(0, 2, 1, 3)
             kk = kh.transpose(0, 2, 1, 3)
 
-        if k_cache is not None:
-            k_cache = k_cache.at[jnp.arange(B)[:, None], write_idx].set(kk.astype(k_cache.dtype))
-            v_cache = v_cache.at[jnp.arange(B)[:, None], write_idx].set(vv.astype(v_cache.dtype))
-            k_att, v_att = k_cache.astype(x.dtype), v_cache.astype(x.dtype)
-        else:
-            k_att, v_att = kk, vv
+        k_att, v_att = complete_kv(kk, vv)
 
         attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask)
         attn = _per_step_linear(pl["attn"]["out_proj"], attn, widx)
@@ -323,7 +320,7 @@ class StreamingTransformer:
         if "layer_scale_2" in pl:
             u = pl["layer_scale_2"]["scale"].astype(u.dtype) * u
         x = x + u
-        return x, k_cache, v_cache
+        return x
 
     # ------------------------------------------------------------------ modes
     def _pos_embed(self, x: jax.Array, offset: jax.Array) -> jax.Array:
@@ -375,10 +372,9 @@ class StreamingTransformer:
                 kc = vc = None
             else:
                 pl, kc, vc = xs
-            y, _, _ = self._layer(pl, h, k_cache=None, v_cache=None,
-                                  write_idx=None, mask=mask,
-                                  rope_offset=rope_offset, widx=widx,
-                                  k_cross=kc, v_cross=vc)
+            y = self._layer(pl, h, complete_kv=lambda kk, vv: (kk, vv),
+                            mask=mask, rope_offset=rope_offset, widx=widx,
+                            k_cross=kc, v_cross=vc)
             return y, None
 
         xs = params["layers"] if cross is None else (params["layers"], cross["k_cross"], cross["v_cross"])
@@ -411,24 +407,40 @@ class StreamingTransformer:
         mask = mask[:, None]  # [B, 1, T, cap]
 
         has_cross = "k_cross" in state
+        barange = jnp.arange(B)
 
-        def body(h, xs):
+        # KV caches ride the scan CARRY with per-layer dynamic updates: XLA
+        # bufferizes loop carries in place, so each step writes only the new
+        # [B, T, H, D] rows instead of copying the whole [L, B, cap, H, D]
+        # stack to fresh scan outputs (which costs ~2x cache size in HBM
+        # traffic per frame on the 7B).
+        def body(carry, xs):
+            h, k_all, v_all = carry
             if has_cross:
-                pl, kc, vc, kx, vx = xs
+                pl, l, kx, vx = xs
             else:
-                pl, kc, vc = xs
+                pl, l = xs
                 kx = vx = None
-            y, kc, vc = self._layer(pl, h, k_cache=kc, v_cache=vc,
-                                    write_idx=write_idx, mask=mask,
-                                    rope_offset=offset, widx=widx,
-                                    k_cross=kx, v_cross=vx)
-            return y, (kc, vc)
 
+            def complete_kv(kk, vv):
+                nonlocal k_all, v_all
+                k_all = k_all.at[l, barange[:, None], write_idx].set(
+                    kk.astype(k_all.dtype))
+                v_all = v_all.at[l, barange[:, None], write_idx].set(
+                    vv.astype(v_all.dtype))
+                return k_all[l].astype(h.dtype), v_all[l].astype(h.dtype)
+
+            y = self._layer(pl, h, complete_kv=complete_kv, mask=mask,
+                            rope_offset=offset, widx=widx,
+                            k_cross=kx, v_cross=vx)
+            return (y, k_all, v_all), None
+
+        larange = jnp.arange(c.num_layers)
         if has_cross:
-            xs = (params["layers"], state["k"], state["v"], state["k_cross"], state["v_cross"])
+            xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
         else:
-            xs = (params["layers"], state["k"], state["v"])
-        x, (k_new, v_new) = lax.scan(body, x, xs)
+            xs = (params["layers"], larange)
+        (x, k_new, v_new), _ = lax.scan(body, (x, state["k"], state["v"]), xs)
 
         new_state = dict(state)
         new_state.update(k=k_new, v=v_new, offset=offset_next)

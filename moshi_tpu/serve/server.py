@@ -31,7 +31,8 @@ def log(level: str, msg: str):
 class ServerState:
     def __init__(self, checkpoint_info: CheckpointInfo, mimi, mimi_params,
                  lm, lm_params, text_tokenizer, cfg_coef: float = 1.0,
-                 rng_seed: int = 0, **lm_gen_kwargs):
+                 rng_seed: int = 0, log_dir: str | None = None,
+                 session_timeout: float = 360.0, **lm_gen_kwargs):
         self.info = checkpoint_info
         self.mimi, self.mimi_params = mimi, mimi_params
         self.lm, self.lm_params = lm, lm_params
@@ -41,6 +42,10 @@ class ServerState:
             {**lm_gen_kwargs, "cfg_coef": cfg_coef}))
         self.lock = asyncio.Lock()
         self.rng_seed = rng_seed
+        self.log_dir = log_dir
+        # reference: 360 s session timeout (moshi-server/src/lm.rs:234-239)
+        self.session_timeout = session_timeout
+        self.session_tokens: list = []
 
         self._encode = jax.jit(self.mimi.encode_step)
         self._decode = jax.jit(self.mimi.decode_step)
@@ -72,9 +77,25 @@ class ServerState:
         out_np = np.asarray(out)
         if (out_np == UNGENERATED_TOKEN).any():
             return None, None
+        self.session_tokens.append(out_np[0, :, 0])
         pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state,
                                            jnp.clip(out[:, 1:], 0, None))
         return np.asarray(pcm)[0, 0], int(out_np[0, 0, 0])
+
+    def save_session_log(self):
+        """Per-connection token log (moshi-server/src/lm.rs:256-290)."""
+        if not self.log_dir or not self.session_tokens:
+            self.session_tokens = []
+            return
+        from pathlib import Path
+        from safetensors.flax import save_file
+        Path(self.log_dir).mkdir(parents=True, exist_ok=True)
+        tokens = jnp.asarray(np.stack(self.session_tokens))  # [T, 1+dep_q]
+        path = Path(self.log_dir) / f"session-{int(time.time())}.safetensors"
+        save_file({"text_tokens": tokens[:, 0], "audio_tokens": tokens[:, 1:].T},
+                  str(path))
+        log("info", f"saved session log to {path}")
+        self.session_tokens = []
 
     def reset_encoder(self):
         self.enc_state = self.mimi.init_encode_state(1)
@@ -91,10 +112,16 @@ class ServerState:
             opus_writer = moshi_native.OpusStreamWriter(self.mimi.sample_rate)
             opus_reader = moshi_native.OpusStreamReader(self.mimi.sample_rate)
             self.reset()
+            self.session_tokens = []
             await ws.send_bytes(b"\x00")
             try:
-                await self._recv_loop(ws, opus_reader, opus_writer)
+                await asyncio.wait_for(
+                    self._recv_loop(ws, opus_reader, opus_writer),
+                    timeout=self.session_timeout)
+            except asyncio.TimeoutError:
+                log("info", "session timeout")
             finally:
+                self.save_session_log()
                 log("info", "connection closed")
         return ws
 
@@ -151,6 +178,9 @@ def main():
                         help="Directory with config.json + safetensors weights.")
     parser.add_argument("--cfg-coef", type=float, default=1.0)
     parser.add_argument("--static", type=str, default=None)
+    parser.add_argument("--log-dir", type=str, default=None,
+                        help="save per-session token logs (safetensors)")
+    parser.add_argument("--session-timeout", type=float, default=360.0)
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
@@ -165,7 +195,9 @@ def main():
         tokenizer = SentencePieceTokenizer(tok_path)
 
     state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
-                        args.cfg_coef, **info.lm_gen_config)
+                        args.cfg_coef, log_dir=args.log_dir,
+                        session_timeout=args.session_timeout,
+                        **info.lm_gen_config)
     log("info", "warming up")
     state.warmup()
 
