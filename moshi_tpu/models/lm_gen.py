@@ -42,8 +42,21 @@ class LMGenConfig:
     cfg_coef: float = 1.0
     cfg_is_no_text: bool = False
     cfg_is_masked_until: bool = False  # enable the masked-prefix CFG null variant
+    # Additive boost on the text pad logit.  Equivalent to the reference's
+    # `pad_mult` (multiplying the pad probability by exp(m) before sampling,
+    # rust lm_generate_multistream.rs:250-254) and to the TTS padding_bonus
+    # (tts.py:553-555).
     padding_bonus: float = 0.0
+    # Text repetition penalty over the last `text_rep_context` non-pad tokens
+    # (rust lm_generate_multistream.rs:141-183): logit >= 0 -> /penalty,
+    # logit < 0 -> *penalty.  Disabled when context == 0 or penalty == 1.
+    text_rep_penalty: float = 1.0
+    text_rep_context: int = 0
     support_out_of_sync: bool = False
+
+    @property
+    def rep_penalty_on(self) -> bool:
+        return self.text_rep_context > 0 and self.text_rep_penalty != 1.0
 
     @classmethod
     def from_dict(cls, d: dict) -> "LMGenConfig":
@@ -68,7 +81,7 @@ class LMGen:
                    dtype=jnp.bfloat16) -> dict:
         c = self.model.config
         CT = self.max_delay + 2
-        return {
+        state = {
             "cache": jnp.full((batch_size, c.num_codebooks, CT),
                               UNGENERATED_TOKEN, jnp.int32),
             "offsets": jnp.zeros((batch_size,), jnp.int32),
@@ -76,6 +89,11 @@ class LMGen:
                 batch_size * self.model_batch_mult, dtype),
             "rng": rng,
         }
+        if self.gc.rep_penalty_on:
+            state["text_history"] = jnp.full(
+                (batch_size, self.gc.text_rep_context), -1, jnp.int32)
+            state["hist_pos"] = jnp.zeros((batch_size,), jnp.int32)
+        return state
 
     def init_cross_state(self, state: dict, params: dict, cross_src: jax.Array) -> dict:
         """Precompute cross-attention K/V from conditioning source [B_model, Ts, dim]."""
@@ -164,14 +182,41 @@ class LMGen:
         out = jnp.where(invalid[:, None], UNGENERATED_TOKEN, out)
         return cache, offsets, out[:, :, None]
 
-    def _sample_text(self, rng, text_logits):
+    def _sample_text(self, rng, text_logits, text_history=None):
         gc = self.gc
         logits = text_logits[:, 0, 0].astype(jnp.float32)
         if gc.padding_bonus:
             pad = self.model.config.existing_text_padding_id
             logits = logits.at[:, pad].add(gc.padding_bonus)
+        if text_history is not None:
+            B, V = logits.shape
+            idx = jnp.clip(text_history, 0, V - 1)
+            seen = jnp.zeros((B, V), bool).at[
+                jnp.arange(B)[:, None], idx].set(text_history >= 0)
+            p = gc.text_rep_penalty
+            logits = jnp.where(seen,
+                               jnp.where(logits >= 0, logits / p, logits * p),
+                               logits)
         return sample_token(rng, logits, use_sampling=gc.use_sampling,
                             temp=gc.temp_text, top_k=gc.top_k_text)
+
+    def _update_history(self, state_updates: dict, state: dict,
+                        text_token: jax.Array, exec_mask: jax.Array):
+        """Push non-pad/eop/start tokens into the repetition-penalty ring."""
+        if not self.gc.rep_penalty_on:
+            return
+        c = self.model.config
+        hist, pos = state["text_history"], state["hist_pos"]
+        N = hist.shape[1]
+        skip = ((text_token == c.existing_text_padding_id)
+                | (text_token == c.existing_text_end_padding_id)
+                | (text_token == c.text_initial_token_id)
+                | ~exec_mask)
+        B = hist.shape[0]
+        new_hist = hist.at[jnp.arange(B), pos % N].set(
+            jnp.where(skip, hist[jnp.arange(B), pos % N], text_token))
+        state_updates["text_history"] = new_hist
+        state_updates["hist_pos"] = jnp.where(skip, pos, pos + 1)
 
     # ------------------------------------------------------------------- step
     def step(self, params: dict, state: dict, input_tokens: jax.Array,
@@ -218,7 +263,7 @@ class LMGen:
 
         rng = state["rng"]
         rng, krng = jax.random.split(rng)
-        text_token = self._sample_text(krng, text_logits)
+        text_token = self._sample_text(krng, text_logits, state.get("text_history"))
 
         if depformer_replace_tokens is not None:
             audio_tokens = depformer_replace_tokens[:, :, 0]
@@ -234,6 +279,7 @@ class LMGen:
                                            audio_tokens, exec_mask)
         new_state = dict(state)
         new_state.update(cache=cache, offsets=offsets, transformer=tr_state, rng=rng)
+        self._update_history(new_state, state, text_token, exec_mask)
         return out, h[:B], text_token, new_state
 
     # -------------------------------------------------------- split-step API
@@ -258,10 +304,11 @@ class LMGen:
         text_logits = self._combine_cfg(text_logits)
         rng = state["rng"]
         rng, krng = jax.random.split(rng)
-        text_token = self._sample_text(krng, text_logits)
+        text_token = self._sample_text(krng, text_logits, state.get("text_history"))
 
         new_state = dict(state)
         new_state.update(cache=cache, transformer=tr_state, rng=rng)
+        self._update_history(new_state, state, text_token, exec_mask)
         return text_token, text_logits, h, new_state
 
     def depth_step(self, params, state, text_token, h, exec_mask=None,

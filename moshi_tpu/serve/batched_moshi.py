@@ -1,0 +1,242 @@
+"""Batched multi-tenant full-duplex Moshi server.
+
+The reference serves one session per model replica (`moshi/moshi/server.py`
+asyncio lock, line 160); its batched serving exists only for ASR
+(`rust/moshi-server/src/batched_asr.rs`).  This module extends the batched
+slot design to the full-duplex dialogue loop — possible here because the
+whole frame step is one jitted program over a batch with per-slot exec masks,
+and batching amortizes the weight reads (the decode step is weight-bandwidth
+bound, so N users cost barely more than one).
+
+Protocol per slot: identical to the single-session server (`\\x00` handshake,
+`\\x01` ogg-opus, `\\x02` text).
+"""
+
+import argparse
+import asyncio
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loaders import CheckpointInfo
+from ..models.lm_gen import LMGen, LMGenConfig
+from ..models.lm import UNGENERATED_TOKEN
+from ..utils.trees import masked_reset
+from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
+
+
+class BatchedMoshiState:
+    def __init__(self, mimi, mimi_params, lm, lm_params, text_tokenizer,
+                 batch_size: int, rng: jax.Array, **lm_gen_kwargs):
+        self.mimi, self.mimi_params = mimi, mimi_params
+        self.lm, self.lm_params = lm, lm_params
+        self.text_tokenizer = text_tokenizer
+        self.batch_size = batch_size
+        self.frame_size = mimi.frame_size
+        self.lm_gen = LMGen(lm, LMGenConfig.from_dict(lm_gen_kwargs))
+
+        self.enc_state = mimi.init_encode_state(batch_size)
+        self.dec_state = mimi.init_decode_state(batch_size)
+        self.gen_state = self.lm_gen.init_state(batch_size, rng)
+        self.skip_frames = np.zeros((batch_size,), np.int32)
+
+        self.slots_free = list(range(batch_size))
+        self.slot_queues: dict[int, asyncio.Queue] = {}
+        self.slot_pcm: dict[int, np.ndarray] = {}
+        self.lock = asyncio.Lock()
+
+        n_in = lm.config.num_codebooks - lm.config.dep_q - 1
+        self._n_in = n_in
+
+        def frame(lm_params, mimi_params, gen_state, enc_state, dec_state,
+                  pcm, exec_mask):
+            codes, enc_state = mimi.encode_step(mimi_params, enc_state, pcm,
+                                                exec_mask)
+            out, gen_state = self.lm_gen.step(lm_params, gen_state,
+                                              codes[:, :n_in], exec_mask)
+            audio = jnp.clip(out[:, 1:1 + mimi.num_codebooks], 0, None)
+            pcm_out, dec_state = mimi.decode_step(mimi_params, dec_state, audio,
+                                                  exec_mask)
+            return out, pcm_out, gen_state, enc_state, dec_state
+
+        self._frame = jax.jit(frame)
+
+    def warmup(self):
+        pcm = jnp.zeros((self.batch_size, 1, self.frame_size), jnp.float32)
+        mask = jnp.ones((self.batch_size,), bool)
+        for _ in range(3):
+            out = self._frame(self.lm_params, self.mimi_params, self.gen_state,
+                              self.enc_state, self.dec_state, pcm, mask)
+        jax.block_until_ready(out[1])
+        self.reset_all()
+
+    def reset_all(self):
+        self.enc_state = self.mimi.init_encode_state(self.batch_size)
+        self.dec_state = self.mimi.init_decode_state(self.batch_size)
+        rng = self.gen_state["rng"]
+        self.gen_state = self.lm_gen.init_state(self.batch_size, rng)
+
+    def reset_slot(self, slot: int):
+        mask = np.zeros((self.batch_size,), bool)
+        mask[slot] = True
+        m = jnp.asarray(mask)
+        self.enc_state = masked_reset(
+            self.enc_state, self.mimi.init_encode_state(self.batch_size), m)
+        self.dec_state = masked_reset(
+            self.dec_state, self.mimi.init_decode_state(self.batch_size), m)
+        fresh = self.lm_gen.init_state(self.batch_size, self.gen_state["rng"])
+        new_gen = dict(self.gen_state)
+        for key in ("cache", "offsets", "transformer"):
+            new_gen[key] = masked_reset(self.gen_state[key], fresh[key], m)
+        self.gen_state = new_gen
+        self.skip_frames[slot] = 1
+
+    async def acquire_slot(self) -> int | None:
+        async with self.lock:
+            if not self.slots_free:
+                return None
+            slot = self.slots_free.pop()
+            self.slot_queues[slot] = asyncio.Queue()
+            self.slot_pcm[slot] = np.zeros((0,), np.float32)
+            self.reset_slot(slot)
+            OPEN_CHANNELS.inc()
+            return slot
+
+    async def release_slot(self, slot: int):
+        async with self.lock:
+            self.slot_queues.pop(slot, None)
+            self.slot_pcm.pop(slot, None)
+            self.slots_free.append(slot)
+            OPEN_CHANNELS.dec()
+
+    async def run_loop(self):
+        B, fs = self.batch_size, self.frame_size
+        while True:
+            ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
+            if not ready:
+                await asyncio.sleep(0.005)
+                continue
+            mask_np = np.zeros((B,), bool)
+            chunk = np.zeros((B, 1, fs), np.float32)
+            for s in ready:
+                chunk[s, 0] = self.slot_pcm[s][:fs]
+                self.slot_pcm[s] = self.slot_pcm[s][fs:]
+                if self.skip_frames[s] > 0:
+                    # first-frame skip: encode then re-apply the encoder left
+                    # padding next call (server.py:136-142)
+                    self.skip_frames[s] -= 1
+                    em = np.zeros((B,), bool)
+                    em[s] = True
+                    _, enc_state = self.mimi.encode_step(
+                        self.mimi_params, self.enc_state,
+                        jnp.asarray(chunk * em[:, None, None]), jnp.asarray(em))
+                    self.enc_state = masked_reset(
+                        enc_state, self.mimi.init_encode_state(B), jnp.asarray(em))
+                    continue
+                mask_np[s] = True
+            if not mask_np.any():
+                await asyncio.sleep(0)
+                continue
+            t0 = time.perf_counter()
+            out, pcm_out, self.gen_state, self.enc_state, self.dec_state = \
+                self._frame(self.lm_params, self.mimi_params, self.gen_state,
+                            self.enc_state, self.dec_state, jnp.asarray(chunk),
+                            jnp.asarray(mask_np))
+            out_np = np.asarray(out)
+            pcm_np = np.asarray(pcm_out)
+            MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
+            TOTAL_STEPS.inc()
+            for s in np.nonzero(mask_np)[0]:
+                if (out_np[s] == UNGENERATED_TOKEN).any():
+                    continue
+                q = self.slot_queues.get(int(s))
+                if q is not None:
+                    q.put_nowait((pcm_np[s, 0], int(out_np[s, 0, 0])))
+            await asyncio.sleep(0)
+
+
+async def handle_chat(request, state: BatchedMoshiState):
+    from aiohttp import web, WSMsgType
+    from .. import moshi_native
+
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    CONNECT_COUNT.inc()
+    slot = await state.acquire_slot()
+    if slot is None:
+        await ws.close(code=1013, message=b"server full")
+        return ws
+    reader = moshi_native.OpusStreamReader(state.mimi.sample_rate)
+    writer = moshi_native.OpusStreamWriter(state.mimi.sample_rate)
+    await ws.send_bytes(b"\x00")
+
+    async def sender():
+        q = state.slot_queues[slot]
+        while True:
+            pcm, text_token = await q.get()
+            data = writer.append_pcm(np.ascontiguousarray(pcm, np.float32))
+            if data:
+                await ws.send_bytes(b"\x01" + data)
+            if text_token not in (0, 3) and state.text_tokenizer is not None:
+                text = state.text_tokenizer.id_to_piece(text_token).replace("▁", " ")
+                await ws.send_bytes(b"\x02" + text.encode("utf-8"))
+
+    send_task = asyncio.create_task(sender())
+    try:
+        async for message in ws:
+            if message.type != WSMsgType.BINARY or not message.data:
+                continue
+            if message.data[0] == 1:
+                pcm = np.frombuffer(reader.append_bytes(message.data[1:]),
+                                    np.float32)
+                if pcm.size:
+                    state.slot_pcm[slot] = np.concatenate(
+                        [state.slot_pcm[slot], pcm])
+    finally:
+        send_task.cancel()
+        await state.release_slot(slot)
+    return ws
+
+
+def main():
+    from aiohttp import web
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8998)
+    parser.add_argument("--checkpoint-dir", required=True)
+    parser.add_argument("--batch-size", type=int, default=4)
+    args = parser.parse_args()
+
+    info = CheckpointInfo.from_dir(args.checkpoint_dir)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi()
+    tokenizer = None
+    tok_path = Path(args.checkpoint_dir) / info.tokenizer_name
+    if tok_path.exists():
+        from ..text.spm import SentencePieceTokenizer
+        tokenizer = SentencePieceTokenizer(tok_path)
+
+    state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, tokenizer,
+                              args.batch_size, jax.random.PRNGKey(0),
+                              **info.lm_gen_config)
+    state.warmup()
+
+    async def metrics_handler(_):
+        return web.Response(text=REGISTRY.expose(), content_type="text/plain")
+
+    async def on_startup(app):
+        app["loop_task"] = asyncio.create_task(state.run_loop())
+
+    app = web.Application()
+    app.router.add_get("/api/chat", lambda req: handle_chat(req, state))
+    app.router.add_get("/metrics", metrics_handler)
+    app.on_startup.append(on_startup)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

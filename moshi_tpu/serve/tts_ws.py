@@ -1,0 +1,179 @@
+"""Streaming TTS websocket module: words in -> audio out, incrementally.
+
+Behavioral reference: `rust/moshi-core/src/tts_streaming.rs` (text/audio
+delay, pause when the word queue starves — max_consecutive_pads, 28-45) and
+the moshi-server `Tts` module.  Client protocol (JSON text frames in, binary
+out):
+  -> {"type": "Text", "text": "word"}     queue one word
+  -> {"type": "Eos"}                      end of input
+  <- b"\\x01" + ogg-opus audio
+  <- {"type": "Text", "text": ..., "start_s": ...}  word timing events
+  <- {"type": "Eos"}                      generation finished
+"""
+
+import argparse
+import asyncio
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.lm_gen import LMGen, LMGenConfig
+from ..models.tts import Entry, StateMachine, TokenIds
+from ..models.lm import UNGENERATED_TOKEN, ZERO_TOKEN
+
+
+class TTSStreamer:
+    """Incremental DSM TTS over one session: words can be fed while audio is
+    being generated; generation pauses when the word queue starves."""
+
+    def __init__(self, tts, lm_params, mimi_params, rng,
+                 max_consecutive_starved_pads: int = 10):
+        self.tts = tts
+        self.lm_params = lm_params
+        self.mimi_params = mimi_params
+        lm = tts.lm
+        self.gen = LMGen(lm, LMGenConfig(
+            use_sampling=True, temp=tts.temp, temp_text=tts.temp,
+            cfg_coef=tts.cfg_coef, padding_bonus=tts.padding_bonus))
+        self.machine = tts.machine
+        self.state = self.machine.new_state([])
+        self.gstate = self.gen.init_state(1, rng)
+        self.dec_state = tts.mimi.init_decode_state(1)
+        self.offset = 0
+        self.eos = False
+        self.max_starved = max_consecutive_starved_pads
+        c = lm.config
+        self._missing = c.num_codebooks - c.dep_q - 1
+        self._input = jnp.full((1, max(self._missing, 1), 1), ZERO_TOKEN, jnp.int32)
+        self._no_dep = jnp.full((1, c.dep_q, 1), ZERO_TOKEN, jnp.int32)
+        self._gen_delays = np.asarray(c.delays[c.audio_offset:c.audio_offset + c.dep_q])
+        self._main = jax.jit(self.gen.main_step)
+        self._depth = jax.jit(self.gen.depth_step)
+        self._decode = jax.jit(tts.mimi.decode_step)
+
+    def feed_words(self, words: list[str]):
+        for w in words:
+            for word in w.split():
+                tokens = list(self.tts.tokenizer.encode(word))
+                self.state.entries.append(Entry(tokens=tokens, text=word))
+
+    def feed_eos(self):
+        self.eos = True
+
+    @property
+    def starved(self) -> bool:
+        """True when the machine would have to pad only because no words are
+        queued yet (and the client hasn't sent EOS)."""
+        return (not self.eos and not self.state.entries
+                and not self.state.queued and self.state.forced_padding <= 0)
+
+    @property
+    def finished(self) -> bool:
+        return (self.state.end_step is not None
+                and self.offset >= self.state.end_step + self.tts.delay_steps
+                + self.tts.final_padding)
+
+    def step(self):
+        """One generation frame.  Returns (pcm [T] | None, events)."""
+        tts = self.tts
+        c = tts.lm.config
+        text_token, _, h, self.gstate = self._main(
+            self.lm_params, self.gstate, self._input)
+        tok = int(np.asarray(text_token)[0])
+        before = len(self.state.transcript)
+        out_tok, _ = self.machine.process(self.offset, self.state, tok)
+        events = [{"type": "Text", "text": w,
+                   "start_s": s / tts.mimi.frame_rate}
+                  for w, s in self.state.transcript[before:]]
+        if not self.eos and self.state.end_step is not None:
+            # ran out of words but the client may send more: back out the end
+            self.state.end_step = None
+
+        zero_mask = jnp.asarray(self.offset < self._gen_delays + tts.delay_steps)
+        replace = self._no_dep if self.offset < tts.delay_steps else None
+        out, self.gstate = self._depth(
+            self.lm_params, self.gstate,
+            jnp.asarray(np.asarray([out_tok], np.int32)), h, None, replace,
+            zero_mask, None)
+        self.offset += 1
+        out_np = np.asarray(out)
+        if (out_np == UNGENERATED_TOKEN).any() or self.offset <= tts.delay_steps:
+            return None, events
+        codes = jnp.clip(out[:, 1:tts.n_q + 1], 0, None)
+        pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state, codes)
+        return np.clip(np.asarray(pcm)[0, 0], -1, 1), events
+
+
+async def handle_tts_socket(request, make_streamer):
+    from aiohttp import web, WSMsgType
+    from .. import moshi_native
+
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    streamer = make_streamer()
+    writer = moshi_native.OpusStreamWriter(streamer.tts.mimi.sample_rate)
+    await ws.send_str(json.dumps({"type": "Ready"}))
+
+    recv_done = asyncio.Event()
+
+    async def receiver():
+        async for message in ws:
+            if message.type != WSMsgType.TEXT:
+                continue
+            msg = json.loads(message.data)
+            if msg.get("type") == "Text":
+                streamer.feed_words([msg["text"]])
+            elif msg.get("type") == "Eos":
+                streamer.feed_eos()
+        recv_done.set()
+
+    recv_task = asyncio.create_task(receiver())
+    try:
+        while not streamer.finished:
+            if streamer.starved:
+                if recv_done.is_set():
+                    streamer.feed_eos()
+                await asyncio.sleep(0.01)
+                continue
+            pcm, events = streamer.step()
+            for e in events:
+                await ws.send_str(json.dumps(e))
+            if pcm is not None:
+                data = writer.append_pcm(np.ascontiguousarray(pcm, np.float32))
+                if data:
+                    await ws.send_bytes(b"\x01" + data)
+            await asyncio.sleep(0)
+        await ws.send_str(json.dumps({"type": "Eos"}))
+    finally:
+        recv_task.cancel()
+        await ws.close()
+    return ws
+
+
+def main():
+    from aiohttp import web
+    from ..run_tts import build_tts
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8990)
+    parser.add_argument("--checkpoint-dir", required=True)
+    parser.add_argument("--temp", type=float, default=0.6)
+    args = parser.parse_args()
+
+    tts, lm_params, mimi_params, _ = build_tts(args.checkpoint_dir, args.temp)
+
+    def make_streamer():
+        return TTSStreamer(tts, lm_params, mimi_params, jax.random.PRNGKey(0))
+
+    app = web.Application()
+    app.router.add_get("/api/tts_streaming",
+                       lambda req: handle_tts_socket(req, make_streamer))
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

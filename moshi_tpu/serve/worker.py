@@ -1,0 +1,198 @@
+"""Multi-module production server.
+
+Behavioral reference: `rust/moshi-server/src/main.rs` — a TOML config maps
+routes to modules ({Lm, Asr, BatchedAsr, Mimi, Tts, ...}, main.rs:153-198,
+293-302), each warmed up at startup (346-380); auth via the `kyutai-api-key`
+header (main.rs:28); `/metrics` Prometheus (482-500), `/api/build_info`,
+`/api/modules_info`.
+
+Config example (TOML):
+
+    authorized_ids = ["public_token"]
+    static_dir = "./client/dist"     # optional
+
+    [modules.chat]
+    type = "moshi"                    # moshi | batched_moshi | batched_asr | tts
+    route = "/api/chat"
+    checkpoint_dir = "/ckpt/moshiko"
+
+    [modules.asr]
+    type = "batched_asr"
+    route = "/api/asr-streaming"
+    checkpoint_dir = "/ckpt/stt"
+    batch_size = 8
+
+Usage: python -m moshi_tpu.serve.worker --config config.toml [--port 8998]
+"""
+
+import argparse
+import asyncio
+import json
+import tomllib
+from pathlib import Path
+
+import jax
+
+from .metrics import REGISTRY
+
+
+def _load_tokenizer(checkpoint_dir, info):
+    tok_path = Path(checkpoint_dir) / info.tokenizer_name
+    if tok_path.exists():
+        from ..text.spm import SentencePieceTokenizer
+        return SentencePieceTokenizer(tok_path)
+    return None
+
+
+def build_module(name: str, mcfg: dict, seed: int):
+    """Returns (route, handler, startup_coro_factory | None, info_dict)."""
+    from ..models.loaders import CheckpointInfo
+
+    mtype = mcfg["type"]
+    route = mcfg["route"]
+    ckpt = mcfg["checkpoint_dir"]
+    info = CheckpointInfo.from_dir(ckpt)
+    rng = jax.random.PRNGKey(seed)
+
+    if mtype == "moshi":
+        from .server import ServerState
+        mimi, mimi_params = info.get_mimi()
+        lm, lm_params = info.get_moshi()
+        state = ServerState(info, mimi, mimi_params, lm, lm_params,
+                            _load_tokenizer(ckpt, info),
+                            cfg_coef=mcfg.get("cfg_coef", 1.0),
+                            log_dir=mcfg.get("log_dir"),
+                            **info.lm_gen_config)
+        state.warmup()
+        return route, state.handle_chat, None, {"type": mtype}
+
+    if mtype == "batched_moshi":
+        from .batched_moshi import BatchedMoshiState, handle_chat
+        mimi, mimi_params = info.get_mimi()
+        lm, lm_params = info.get_moshi()
+        state = BatchedMoshiState(mimi, mimi_params, lm, lm_params,
+                                  _load_tokenizer(ckpt, info),
+                                  mcfg.get("batch_size", 4), rng,
+                                  **info.lm_gen_config)
+        state.warmup()
+
+        async def startup():
+            return asyncio.create_task(state.run_loop())
+
+        return route, (lambda req: handle_chat(req, state)), startup, \
+            {"type": mtype, "batch_size": state.batch_size}
+
+    if mtype == "batched_asr":
+        from ..models.asr import StreamingASR
+        from .batched_asr import BatchedAsrState, handle_asr_socket
+        mimi, mimi_params = info.get_mimi()
+        lm, lm_params = info.get_moshi()
+        delay = int(info.stt_config.get("audio_delay_seconds", 0.5)
+                    * mimi.frame_rate)
+        asr = StreamingASR(mimi, lm, mcfg.get("batch_size", 8),
+                           asr_delay_in_tokens=delay,
+                           temperature=mcfg.get("temperature", 0.0),
+                           text_tokenizer=_load_tokenizer(ckpt, info))
+        state = BatchedAsrState(asr, mimi_params, lm_params, rng)
+
+        async def startup():
+            return asyncio.create_task(state.run_loop())
+
+        return route, (lambda req: handle_asr_socket(req, state)), startup, \
+            {"type": mtype, "batch_size": asr.batch_size}
+
+    if mtype == "tts":
+        from ..run_tts import build_tts
+        from .tts_ws import TTSStreamer, handle_tts_socket
+        tts, lm_params, mimi_params, _ = build_tts(
+            ckpt, temp=mcfg.get("temp", 0.6),
+            cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
+
+        def make_streamer():
+            return TTSStreamer(tts, lm_params, mimi_params, rng)
+
+        return route, (lambda req: handle_tts_socket(req, make_streamer)), \
+            None, {"type": mtype}
+
+    if mtype == "mimi":
+        from .mimi_ws import MimiWsState, handle_mimi_socket
+        mimi, mimi_params = info.get_mimi()
+        state = MimiWsState(mimi, mimi_params)
+        return route, (lambda req: handle_mimi_socket(req, state)), None, \
+            {"type": mtype}
+
+    raise ValueError(f"unknown module type {mtype}")
+
+
+def main():
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8998)
+    args = parser.parse_args()
+
+    cfg = tomllib.loads(Path(args.config).read_text())
+    authorized = set(cfg.get("authorized_ids", []))
+
+    @web.middleware
+    async def auth_middleware(request, handler):
+        if authorized and not request.path.startswith(("/metrics", "/api/build_info")):
+            key = (request.headers.get("kyutai-api-key")
+                   or request.query.get("auth_id"))
+            if key not in authorized:
+                return web.Response(status=401, text="unauthorized")
+        return await handler(request)
+
+    app = web.Application(middlewares=[auth_middleware] if authorized else [])
+    modules_info = {}
+    startups = []
+    for i, (name, mcfg) in enumerate(cfg.get("modules", {}).items()):
+        route, handler, startup, minfo = build_module(name, mcfg, seed=i)
+        app.router.add_get(route, handler)
+        modules_info[name] = {**minfo, "route": route}
+        if startup is not None:
+            startups.append(startup)
+        print(f"[info] mounted {name} ({minfo['type']}) at {route}")
+
+    async def metrics_handler(_):
+        return web.Response(text=REGISTRY.expose(), content_type="text/plain")
+
+    async def build_info(_):
+        import subprocess
+        try:
+            rev = subprocess.check_output(["git", "rev-parse", "HEAD"],
+                                          text=True).strip()
+        except Exception:
+            rev = "unknown"
+        return web.json_response({"build_git_revision": rev,
+                                  "framework": "moshi_tpu"})
+
+    async def modules_handler(_):
+        return web.json_response(modules_info)
+
+    app.router.add_get("/metrics", metrics_handler)
+    app.router.add_get("/api/build_info", build_info)
+    app.router.add_get("/api/modules_info", modules_handler)
+
+    static_dir = cfg.get("static_dir")
+    if static_dir:
+        import os
+
+        async def handle_root(_):
+            return web.FileResponse(os.path.join(static_dir, "index.html"))
+
+        app.router.add_get("/", handle_root)
+        app.router.add_static("/", path=static_dir, follow_symlinks=True,
+                              name="static")
+
+    async def on_startup(app):
+        app["tasks"] = [await s() for s in startups]
+
+    app.on_startup.append(on_startup)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

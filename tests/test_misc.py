@@ -1,0 +1,90 @@
+"""Repetition penalty, rustymimi-analog Tokenizer facade, native checkpoint
+roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_lm import tiny_lm_config
+from test_mimi import tiny_mimi_config
+
+
+def test_text_repetition_penalty_discourages_repeats():
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
+
+    cfg = tiny_lm_config()
+    model = LMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 1, 12
+    n_in = cfg.num_codebooks - cfg.dep_q - 1
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, n_in, T), 0, cfg.card)
+
+    def run(gcfg):
+        gen = LMGen(model, gcfg)
+        st = gen.init_state(B, jax.random.PRNGKey(2), dtype=jnp.float32)
+        outs = []
+        for t in range(T):
+            o, st = gen.step(params, st, tokens[:, :, t:t + 1])
+            outs.append(int(np.asarray(o)[0, 0, 0]))
+        return outs, st
+
+    base, _ = run(LMGenConfig(use_sampling=False))
+    pen, st = run(LMGenConfig(use_sampling=False, text_rep_penalty=1e6,
+                              text_rep_context=16))
+    assert "text_history" in st
+    # with an extreme penalty, a greedy stream cannot emit the same non-pad
+    # token twice within the window
+    nonpad = [t for t in pen if t not in (-2, 0, 3, cfg.text_card)]
+    assert len(nonpad) == len(set(nonpad)), nonpad
+    # and the streams genuinely differ if the base repeated anything
+    base_nonpad = [t for t in base if t not in (-2, 0, 3, cfg.text_card)]
+    if len(base_nonpad) != len(set(base_nonpad)):
+        assert base != pen
+
+
+def test_mimi_tokenizer_facade():
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.serve.mimi_ws import Tokenizer
+
+    mimi = MimiModel(tiny_mimi_config())
+    params = mimi.init_params(jax.random.PRNGKey(0))
+    tok = Tokenizer(mimi, params)
+    fs = mimi.frame_size
+    pcm = np.random.RandomState(0).randn(1, 1, 4 * fs).astype(np.float32) * 0.2
+    codes = tok.encode(pcm)
+    audio = tok.decode(codes)
+    assert audio.shape[-1] == 4 * fs
+    # streaming steps match offline
+    tok.reset()
+    s1 = tok.encode_step(pcm[:, :, :2 * fs])
+    s2 = tok.encode_step(pcm[:, :, 2 * fs:])
+    np.testing.assert_array_equal(np.concatenate([s1, s2], axis=2), codes)
+
+
+def test_native_ckpt_roundtrip():
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.native_ckpt import save_params, load_params
+    from moshi_tpu.utils.quantize import quantize_lm_params, QTensor
+    import tempfile, os
+
+    cfg = tiny_lm_config()
+    model = LMModel(cfg)
+    params = quantize_lm_params(
+        model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32), min_size=1)
+    with tempfile.NamedTemporaryFile(suffix=".safetensors", delete=False) as f:
+        path = f.name
+    try:
+        save_params(path, params)
+        loaded = load_params(path)
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        assert isinstance(loaded["transformer"]["layers"]["attn"]["in_proj"], QTensor)
+        np.testing.assert_array_equal(
+            np.asarray(params["transformer"]["layers"]["attn"]["in_proj"].q),
+            np.asarray(loaded["transformer"]["layers"]["attn"]["in_proj"].q))
+        np.testing.assert_array_equal(np.asarray(params["emb"]["weight"]),
+                                      np.asarray(loaded["emb"]["weight"]))
+    finally:
+        os.unlink(path)
