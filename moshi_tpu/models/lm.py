@@ -55,6 +55,7 @@ class LmConfig:
     layer_scale: float | None = None
     kv_repeat: int = 1
     cross_attention: bool = False
+    kv_cache_dtype: str = "model"  # model | int8 (TPU-native extension)
     delays: tuple[int, ...] = (0,) * 9
     existing_text_padding_id: int = 3
     existing_text_end_padding_id: int = 0
@@ -133,7 +134,8 @@ class LmConfig:
             context=self.context, positional_embedding=self.positional_embedding,
             max_period=self.max_period, gating=self.gating, norm=self.norm,
             layer_scale=self.layer_scale, kv_repeat=self.kv_repeat,
-            cross_attention=self.cross_attention)
+            cross_attention=self.cross_attention,
+            kv_cache_dtype=self.kv_cache_dtype)
 
     @property
     def depformer_config(self) -> TransformerConfig:

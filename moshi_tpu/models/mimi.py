@@ -149,6 +149,24 @@ class MimiModel:
         """Decode codes to the continuous (pre-upsample) latent [B, T, C]."""
         return self.quantizer.decode(params["quantizer"], codes)
 
+    def encode_to_latent(self, params: dict, x: jax.Array,
+                         quantize: bool = True) -> jax.Array:
+        """Project audio [B, C, T] to the 12.5 Hz latent space, optionally
+        skipping quantization (compression.py:390-404; used to compute TTS
+        voice embeddings, scripts/tts_make_voice.py)."""
+        fs = self.frame_size
+        T = x.shape[-1]
+        pad = (-T) % fs
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        emb = self.encoder.apply(params["encoder"], x.transpose(0, 2, 1))
+        (emb,) = self.encoder_transformer.apply(params["encoder_transformer"], emb)
+        emb = self.downsample.apply(params["downsample"], emb)
+        if not quantize:
+            return emb
+        codes = self.quantizer.encode(params["quantizer"], emb)
+        return self.quantizer.decode(params["quantizer"], codes)
+
     # --------------------------------------------------------------- streaming
     def encode_step(self, params: dict, state: dict, x: jax.Array,
                     exec_mask: jax.Array | None = None) -> tuple[jax.Array, dict]:

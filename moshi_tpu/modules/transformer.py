@@ -110,6 +110,10 @@ class TransformerConfig:
     weights_per_step: int = 0
     weights_per_step_schedule: tuple[int, ...] | None = None
     cross_attention: bool = False
+    # "int8" stores the ring KV cache quantized per (position, head) row,
+    # halving KV HBM footprint and attention bandwidth (a TPU-native
+    # extension; the reference keeps KV in model dtype).
+    kv_cache_dtype: str = "model"  # model | int8
 
     @property
     def head_dim(self) -> int:
@@ -220,11 +224,17 @@ class StreamingTransformer:
         c = self.config
         cap = capacity if capacity is not None else c.kv_capacity
         shape = (c.num_layers, batch_size, cap, c.num_kv_heads, c.head_dim)
-        return {
-            "k": jnp.zeros(shape, dtype),
-            "v": jnp.zeros(shape, dtype),
-            "offset": jnp.zeros((batch_size,), jnp.int32),
-        }
+        state = {"offset": jnp.zeros((batch_size,), jnp.int32)}
+        if c.kv_cache_dtype == "int8":
+            state.update(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:-1] + (1,), jnp.bfloat16),
+                v_scale=jnp.zeros(shape[:-1] + (1,), jnp.bfloat16),
+            )
+        else:
+            state.update(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        return state
 
     def precompute_cross(self, params: dict, src: jax.Array) -> dict:
         """Precompute per-layer cross-attention K/V from `src` [B, Ts, d]
@@ -243,19 +253,36 @@ class StreamingTransformer:
         return {"k_cross": k, "v_cross": v}
 
     # ------------------------------------------------------------- layer body
-    def _attention(self, q, k, v, mask):
-        """q: [B, Hq, T, D]; k, v: [B, S, Hkv, D]; mask: broadcastable [B, 1, T, S]."""
+    def _attention(self, q, k, v, mask, k_scale=None, v_scale=None):
+        """q: [B, Hq, T, D]; k, v: [B, S, Hkv, D] (possibly int8); mask:
+        broadcastable [B, 1, T, S].
+
+        k_scale/v_scale: optional [B, S, Hkv, 1] per-row dequant scales for
+        int8 KV.  The per-row scale commutes with the contraction, so it is
+        applied to the attention scores/weights (length-S vectors) instead of
+        dequantizing the cache (which would materialize a bf16 copy in HBM).
+        """
         c = self.config
+        compute = q.dtype
         if c.kv_repeat > 1:
             k = jnp.repeat(k, c.kv_repeat, axis=2)
             v = jnp.repeat(v, c.kv_repeat, axis=2)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, c.kv_repeat, axis=2)
+                v_scale = jnp.repeat(v_scale, c.kv_repeat, axis=2)
         scale = 1.0 / math.sqrt(c.head_dim)
-        scores = einsum("bhtd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        scores = einsum("bhtd,bshd->bhts", q, k.astype(compute),
+                        preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            # [B, S, H, 1] -> [B, H, 1, S]
+            scores = scores * k_scale.astype(jnp.float32).transpose(0, 2, 3, 1)
         scores = scores * scale
         if mask is not None:
             scores = jnp.where(mask, scores, -jnp.inf)
         w = jax.nn.softmax(scores, axis=-1)
-        out = einsum("bhts,bshd->bthd", w.astype(v.dtype), v)
+        if v_scale is not None:
+            w = w * v_scale.astype(jnp.float32).transpose(0, 2, 3, 1)
+        out = einsum("bhts,bshd->bthd", w.astype(compute), v.astype(compute))
         return out.reshape(*out.shape[:2], -1)  # [B, T, Hq*D]
 
     def _layer(self, pl, x, *, complete_kv, mask, rope_offset,
@@ -287,9 +314,10 @@ class StreamingTransformer:
             q = qh.transpose(0, 2, 1, 3)
             kk = kh.transpose(0, 2, 1, 3)
 
-        k_att, v_att = complete_kv(kk, vv)
+        k_att, v_att, k_scale, v_scale = complete_kv(kk, vv)
 
-        attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask)
+        attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask,
+                               k_scale=k_scale, v_scale=v_scale)
         attn = _per_step_linear(pl["attn"]["out_proj"], attn, widx)
         if "layer_scale_1" in pl:
             attn = pl["layer_scale_1"]["scale"].astype(attn.dtype) * attn
@@ -372,7 +400,7 @@ class StreamingTransformer:
                 kc = vc = None
             else:
                 pl, kc, vc = xs
-            y = self._layer(pl, h, complete_kv=lambda kk, vv: (kk, vv),
+            y = self._layer(pl, h, complete_kv=lambda kk, vv: (kk, vv, None, None),
                             mask=mask, rope_offset=rope_offset, widx=widx,
                             k_cross=kc, v_cross=vc)
             return y, None
@@ -414,8 +442,13 @@ class StreamingTransformer:
         # [B, T, H, D] rows instead of copying the whole [L, B, cap, H, D]
         # stack to fresh scan outputs (which costs ~2x cache size in HBM
         # traffic per frame on the 7B).
+        int8_kv = c.kv_cache_dtype == "int8"
+
         def body(carry, xs):
-            h, k_all, v_all = carry
+            if int8_kv:
+                h, k_all, v_all, ks_all, vs_all = carry
+            else:
+                h, k_all, v_all = carry
             if has_cross:
                 pl, l, kx, vx = xs
             else:
@@ -424,15 +457,27 @@ class StreamingTransformer:
 
             def complete_kv(kk, vv):
                 nonlocal k_all, v_all
+                if int8_kv:
+                    nonlocal ks_all, vs_all
+                    (kq, ks), (vq, vs) = _quant_rows(kk), _quant_rows(vv)
+                    k_all = k_all.at[l, barange[:, None], write_idx].set(kq)
+                    v_all = v_all.at[l, barange[:, None], write_idx].set(vq)
+                    ks_all = ks_all.at[l, barange[:, None], write_idx].set(
+                        ks.astype(ks_all.dtype))
+                    vs_all = vs_all.at[l, barange[:, None], write_idx].set(
+                        vs.astype(vs_all.dtype))
+                    return k_all[l], v_all[l], ks_all[l], vs_all[l]
                 k_all = k_all.at[l, barange[:, None], write_idx].set(
                     kk.astype(k_all.dtype))
                 v_all = v_all.at[l, barange[:, None], write_idx].set(
                     vv.astype(v_all.dtype))
-                return k_all[l].astype(h.dtype), v_all[l].astype(h.dtype)
+                return k_all[l], v_all[l], None, None
 
             y = self._layer(pl, h, complete_kv=complete_kv, mask=mask,
                             rope_offset=offset, widx=widx,
                             k_cross=kx, v_cross=vx)
+            if int8_kv:
+                return (y, k_all, v_all, ks_all, vs_all), None
             return (y, k_all, v_all), None
 
         larange = jnp.arange(c.num_layers)
@@ -440,11 +485,24 @@ class StreamingTransformer:
             xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
         else:
             xs = (params["layers"], larange)
-        (x, k_new, v_new), _ = lax.scan(body, (x, state["k"], state["v"]), xs)
-
         new_state = dict(state)
+        if int8_kv:
+            carry0 = (x, state["k"], state["v"], state["k_scale"], state["v_scale"])
+            (x, k_new, v_new, ks_new, vs_new), _ = lax.scan(body, carry0, xs)
+            new_state.update(k_scale=ks_new, v_scale=vs_new)
+        else:
+            (x, k_new, v_new), _ = lax.scan(body, (x, state["k"], state["v"]), xs)
         new_state.update(k=k_new, v=v_new, offset=offset_next)
         return x, new_state
+
+
+def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization per (batch, time, head) row of [B, T, H, D]."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _stack_norm_init(norm, L: int, dtype) -> dict:
