@@ -130,6 +130,48 @@ class LUTConditioner:
         return cond, jnp.asarray(mask)
 
 
+class ContinuousAttributeConditioner:
+    """Sinusoidal embedding of a continuous scalar value, projected and added
+    to the input (rust/moshi-core/src/conditioner.rs `ContinuousAttribute`,
+    62-120: value * scale_factor -> sin/cos embedding -> output_proj)."""
+
+    kind = "text"  # values arrive as strings, e.g. "2.5"
+
+    def __init__(self, output_dim: int, dim: int, scale_factor: float,
+                 max_period: float = 10_000.0):
+        self.output_dim = output_dim
+        self.dim = dim
+        self.scale_factor = scale_factor
+        self.max_period = max_period
+
+    def init_params(self, key, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return {
+            "output_proj": jax.random.normal(k1, (self.dim, self.output_dim), dtype)
+            / jnp.sqrt(self.dim).astype(dtype),
+            "learnt_padding": jax.random.normal(k2, (1, 1, self.output_dim), dtype) * 0.2,
+        }
+
+    def prepare(self, values: list):
+        vals = np.asarray([[0.0 if v is None else float(v)] for v in values],
+                          np.float32)[:, :, None]  # [B, 1, 1]
+        mask = np.asarray([[v is not None] for v in values], bool)
+        return vals, mask
+
+    def apply(self, params, prepared):
+        vals, mask = prepared
+        half = self.dim // 2
+        positions = jnp.asarray(vals) * self.scale_factor
+        adim = (1.0 / self.max_period ** (jnp.arange(half, dtype=jnp.float32)
+                                          / (half - 1))).reshape(1, 1, -1)
+        freqs = positions * adim
+        emb = jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)
+        cond = dot(emb, params["output_proj"])
+        maskf = jnp.asarray(mask, jnp.float32)[..., None]
+        cond = cond * maskf + params["learnt_padding"] * (1 - maskf)
+        return cond, jnp.asarray(mask)
+
+
 class TensorConditioner:
     """Pass-through tensor conditioner with output projection + learnt padding."""
 
@@ -225,6 +267,9 @@ def conditioners_from_config(output_dim: int, cfg: dict) -> ConditionProvider:
             conds[name] = LUTConditioner(output_dim=output_dim, **kwargs)
         elif ctype == "tensor":
             conds[name] = TensorConditioner(output_dim=output_dim, **kwargs)
+        elif ctype in ("continuous_attribute", "ContinuousAttribute"):
+            conds[name] = ContinuousAttributeConditioner(output_dim=output_dim,
+                                                         **kwargs)
         else:
             raise ValueError(f"unknown conditioner type {ctype}")
     return ConditionProvider(conds)
