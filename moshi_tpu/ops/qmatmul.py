@@ -6,6 +6,12 @@ fusion reaches ~580 GB/s on this shape; this kernel streams the int8 weight
 tiles HBM->VMEM with the Pallas pipeline and dequantizes in registers,
 reaching closer to HBM peak.
 
+STATUS: correct but NOT faster than XLA for B<=2 gemv on this chip
+(~410 GB/s vs XLA's ~580 GB/s): the MXU loads weight tiles at a fixed rate
+regardless of how few activation rows there are, so skinny matmuls are MXU
+weight-load bound, while XLA picks a VPU lowering.  Kept as an experiment;
+useful once decode batches reach >= 8 rows.
+
 y[B, dout] = (x[B, din] @ (q[din, dout].astype(bf16)) ) * scale[1, dout]
 
 Note the per-output-channel scale commutes with the contraction, so the
