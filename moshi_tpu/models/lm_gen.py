@@ -282,6 +282,22 @@ class LMGen:
         self._update_history(new_state, state, text_token, exec_mask)
         return out, h[:B], text_token, new_state
 
+    # ------------------------------------------------------------- validation
+    def check_frame(self, out: jax.Array) -> None:
+        """Debug validation of an output frame (reference `check=True`,
+        lm.py:704-711): no ungenerated markers once past the delay, and all
+        token ids within vocabulary bounds.  Host-side; call on fetched
+        frames when debugging."""
+        import numpy as np
+        c = self.model.config
+        arr = np.asarray(out)
+        if (arr == UNGENERATED_TOKEN).all():
+            return  # pre-delay frame
+        assert not (arr == UNGENERATED_TOKEN).any(), "partial ungenerated frame"
+        assert (arr[:, 0] <= c.text_card).all(), "text token out of range"
+        assert (arr[:, 1:] <= c.card).all(), "audio token out of range"
+        assert (arr >= 0).all(), "negative token id"
+
     # -------------------------------------------------------- split-step API
     def main_step(self, params, state, input_tokens, exec_mask=None,
                   condition_sum=None, cfg_masked_until=None):

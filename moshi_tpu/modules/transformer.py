@@ -243,7 +243,7 @@ class StreamingTransformer:
         B, Ts, d = src.shape
 
         def one_layer(pl):
-            kv = dot(src, pl["in_proj"][0, :, d:].astype(src.dtype))  # [B, Ts, 2d]
+            kv = dot(src, pl["in_proj"][0].astype(src.dtype)[:, d:])  # [B, Ts, 2d]
             k, v = jnp.split(kv, 2, axis=-1)
             k = k.reshape(B, Ts, c.num_heads, c.head_dim)
             v = v.reshape(B, Ts, c.num_heads, c.head_dim)
@@ -326,7 +326,7 @@ class StreamingTransformer:
         # --- cross attention (optional)
         if k_cross is not None:
             h = self._norm_cross.apply(pl["norm_cross"], x)
-            qx = dot(h, pl["cross_attn"]["in_proj"][0, :, :d].astype(h.dtype))
+            qx = dot(h, pl["cross_attn"]["in_proj"][0].astype(h.dtype)[:, :d])
             qx = qx.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             ca = self._attention(qx, k_cross.astype(x.dtype), v_cross.astype(x.dtype), None)
             ca = dot(ca, pl["cross_attn"]["out_proj"][0].astype(ca.dtype))

@@ -8,6 +8,12 @@ consuming matmul's operand read under XLA, so HBM traffic per weight is one
 int8 byte — halving both memory footprint and the bandwidth-bound decode
 time vs bf16.  Linears only (embeddings and norms stay in bf16/f32), like
 the reference's `replace_linear_with_qlinear`.
+
+int4 (`mode="int4"`, `QTensor4`): MLX-q4/gguf-style group-wise 4-bit with
+nibble packing.  Quarter-size weights (7B ~3.8 GB) but the in-graph unpack
+does not fuse on current XLA (measured ~170 ms/frame on the 7B vs 20 ms for
+int8) — use it only when memory-bound; a Pallas unpack-fused matmul is the
+future fix.
 """
 
 from dataclasses import dataclass
@@ -54,9 +60,57 @@ class QTensor:
         return (self.q.astype(dtype) * self.scale.astype(dtype))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor4:
+    """Group-wise 4-bit weight (analog of MLX q4 gs=32 / gguf q4), nibble-
+    packed into int8 (two values per byte — native int4 arrays cannot cross
+    the jit boundary on every backend).
+
+    q: int8 [..., in/gs, gs/2, out], byte = low | (high << 4) along the group
+    axis; scale: f32 [..., in/gs, 1, out].  Logical shape is [..., in, out].
+    """
+
+    q: jax.Array
+    scale: jax.Array
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        *lead, g, gs2, dout = self.q.shape
+        return tuple(lead) + (g * gs2 * 2, dout)
+
+    @property
+    def ndim(self):
+        return self.q.ndim - 1
+
+    def __getitem__(self, idx):
+        return QTensor4(self.q[idx], self.scale[idx])
+
+    def take(self, indices, axis: int = 0):
+        return QTensor4(jnp.take(self.q, indices, axis=axis),
+                        jnp.take(self.scale, indices, axis=axis))
+
+    def astype(self, dtype):
+        # sign-extending nibble unpack: low = (q << 4) >> 4, high = q >> 4
+        low = jnp.right_shift(jnp.left_shift(self.q, 4), 4)
+        high = jnp.right_shift(self.q, 4)
+        x = jnp.stack([low, high], axis=-2)            # [..., G, gs/2, 2, out]
+        *lead, g, gs2, two, dout = x.shape
+        x = x.reshape(*lead, g, gs2 * two, dout).astype(dtype)
+        x = x * self.scale.astype(dtype)
+        return x.reshape(*lead, g * gs2 * two, dout)
+
+
 def take0(w, indices):
     """jnp.take along axis 0 for arrays or QTensors."""
-    if isinstance(w, QTensor):
+    if isinstance(w, (QTensor, QTensor4)):
         return w.take(indices, axis=0)
     return jnp.take(w, indices, axis=0)
 
@@ -69,17 +123,35 @@ def quantize_tensor(w: jax.Array) -> QTensor:
     return QTensor(q, scale)
 
 
+def quantize_tensor4(w: jax.Array, group_size: int = 32) -> QTensor4:
+    *lead, din, dout = w.shape
+    assert din % group_size == 0 and group_size % 2 == 0, (din, group_size)
+    wf = w.astype(jnp.float32).reshape(*lead, din // group_size, group_size, dout)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    # pack value pairs along the group axis into nibbles
+    q = q.reshape(*lead, din // group_size, group_size // 2, 2, dout)
+    low, high = q[..., 0, :], q[..., 1, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(low, 0x0F),
+                            jnp.left_shift(high, 4)).astype(jnp.int8)
+    return QTensor4(packed, scale)
+
+
 # Param-tree paths that hold linear weights (see models/lm.py param layout).
 _LINEAR_KEYS = ("in_proj", "out_proj", "linear_in", "linear_out", "linear1",
                 "linear2")
 
 
-def quantize_lm_params(params: dict, min_size: int = 1 << 16) -> dict:
+def quantize_lm_params(params: dict, min_size: int = 1 << 16,
+                       mode: str = "int8", group_size: int = 32) -> dict:
     """Quantize all transformer linears + big projection stacks of an LM param
-    tree to int8 QTensors.  Embeddings, norms, and small tensors stay as-is."""
+    tree to int8 (per-output-channel) or int4 (group-wise, MLX-q4-style)
+    QTensors.  Embeddings, norms, and small tensors stay as-is."""
+    assert mode in ("int8", "int4"), mode
 
     def walk(tree, path=()):
-        if isinstance(tree, QTensor):
+        if isinstance(tree, (QTensor, QTensor4)):
             return tree
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
@@ -99,6 +171,8 @@ def quantize_lm_params(params: dict, min_size: int = 1 << 16) -> dict:
                           "input_proj"))
                      or grandparent == "output_projs")
         if is_linear:
+            if mode == "int4" and x.shape[-2] % group_size == 0:
+                return quantize_tensor4(x, group_size)
             return quantize_tensor(x)
         return x
 

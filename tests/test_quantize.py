@@ -19,6 +19,36 @@ def test_quantize_roundtrip_error():
     assert float(err) < 1.0 / 100  # 127 levels per channel
 
 
+def test_quantize4_roundtrip():
+    from moshi_tpu.utils.quantize import quantize_tensor4, QTensor4
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 128)) * 0.05
+    q = quantize_tensor4(w, 32)
+    assert q.shape == (4, 64, 128)
+    assert q.q.dtype == jnp.int8 and q.q.shape == (4, 2, 16, 128)  # packed
+    err = jnp.abs(q.astype(jnp.float32) - w).max() / jnp.abs(w).max()
+    assert float(err) < 0.12  # 15 levels per group
+    sub = q[1]
+    np.testing.assert_allclose(np.asarray(sub.astype(jnp.float32)),
+                               np.asarray(q.astype(jnp.float32)[1]), rtol=1e-6)
+
+
+def test_quantized4_lm_runs():
+    from moshi_tpu.utils.quantize import quantize_lm_params, QTensor4
+    cfg = tiny_lm_config()
+    model = LMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_lm_params(params, min_size=1, mode="int4", group_size=16)
+    assert isinstance(qparams["transformer"]["layers"]["attn"]["in_proj"], QTensor4)
+    gen = LMGen(model, LMGenConfig(use_sampling=False))
+    B = 1
+    n_in = cfg.num_codebooks - cfg.dep_q - 1
+    st = gen.init_state(B, jax.random.PRNGKey(1), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (B, n_in, 1), 0, cfg.card)
+    for _ in range(4):
+        out, st = gen.step(qparams, st, toks)
+    assert np.asarray(out).shape == (B, cfg.dep_q + 1, 1)
+
+
 def test_qtensor_indexing():
     w = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 16))
     q = quantize_tensor(w)
