@@ -249,7 +249,8 @@ class StreamingTransformer:
             v = v.reshape(B, Ts, c.num_heads, c.head_dim)
             return k, v
 
-        k, v = jax.vmap(one_layer)(params["cross_attn"])
+        layers = params.get("layers", params) if isinstance(params, dict) else params
+        k, v = jax.vmap(one_layer)(layers["cross_attn"])
         return {"k_cross": k, "v_cross": v}
 
     # ------------------------------------------------------------- layer body
