@@ -18,7 +18,7 @@ XLA program — the analog of the reference's two CUDA graphs (lm.py:629-634).
 """
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

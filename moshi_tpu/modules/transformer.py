@@ -24,7 +24,7 @@ TPU-native design:
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -63,15 +63,6 @@ def _per_step_linear(w: jax.Array, x: jax.Array,
     assert idx is not None, "weights_per_step requires step indices"
     wt = take0(w, idx).astype(x.dtype)  # [T, din, dout]
     return einsum("btd,tdo->bto", x, wt)
-
-
-def ring_write(cache: jax.Array, new: jax.Array, offset: jax.Array) -> jax.Array:
-    """Scatter `new` [B, T, H, D] into ring `cache` [B, cap, H, D] at
-    positions (offset + arange(T)) % cap (RingKVCache.complete, 236-253)."""
-    B, cap = cache.shape[:2]
-    T = new.shape[1]
-    idx = (offset[:, None] + jnp.arange(T, dtype=offset.dtype)) % cap  # [B, T]
-    return cache.at[jnp.arange(B)[:, None], idx].set(new.astype(cache.dtype))
 
 
 def ring_positions(offset: jax.Array, T: int, cap: int,
