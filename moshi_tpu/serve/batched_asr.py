@@ -115,7 +115,7 @@ async def handle_asr_socket(request, state: BatchedAsrState):
         await ws.send_str(json.dumps({"type": "Error", "message": "server full"}))
         await ws.close()
         return ws
-    reader = moshi_native.OpusStreamReader(state.asr.mimi.sample_rate)
+    reader = None  # opus reader created lazily (raw-pcm clients don't need it)
     await ws.send_str(json.dumps({"type": "Ready"}))
 
     async def sender():
@@ -131,6 +131,9 @@ async def handle_asr_socket(request, state: BatchedAsrState):
                 continue
             kind = message.data[0]
             if kind == 1:  # ogg-opus audio
+                if reader is None:
+                    reader = moshi_native.OpusStreamReader(
+                        state.asr.mimi.sample_rate)
                 pcm = np.frombuffer(reader.append_bytes(message.data[1:]),
                                     np.float32)
                 if pcm.size:
