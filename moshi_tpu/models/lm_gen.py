@@ -52,7 +52,11 @@ class LMGenConfig:
     # logit < 0 -> *penalty.  Disabled when context == 0 or penalty == 1.
     text_rep_penalty: float = 1.0
     text_rep_context: int = 0
-    support_out_of_sync: bool = False
+    # NOTE: the reference's `support_out_of_sync` flag (lm.py:571,774) only
+    # controls a host-side whole-batch None shortcut during the first
+    # max_delay steps.  Here the per-item invalid masking in `_commit` is
+    # always on (UNGENERATED_TOKEN fills), i.e. out-of-sync batches are
+    # always supported — no flag needed.
 
     @property
     def rep_penalty_on(self) -> bool:

@@ -397,6 +397,10 @@ class CheckpointInfo:
         self.tts_config = config.pop("tts_config", {})
         self.stt_config = config.pop("stt_config", {})
         self.model_id = config.pop("model_id", {})
+        # Exported-native checkpoints (scripts/export_quantized.py) store the
+        # param trees in moshi_tpu's own flattened safetensors layout (possibly
+        # with QTensor int8/int4 leaves) instead of torch-style key names.
+        self.native_format = bool(config.pop("native_format", False))
         self.lm_config = config if config else None
         self.root = root
 
@@ -421,13 +425,24 @@ class CheckpointInfo:
         mimi_cfg = None
         if self.mimi_config_name:
             mimi_cfg = json.loads((self.root / self.mimi_config_name).read_text())
+        if self.native_format:
+            from .native_ckpt import load_params
+            model = MimiModel(mimi_config_from_dict(mimi_cfg, self.num_mimi_codebooks()))
+            return model, load_params(self.root / self.mimi_name)
         return get_mimi(self.root / self.mimi_name, mimi_cfg, self.num_mimi_codebooks())
 
     def get_moshi(self, dtype=jnp.bfloat16):
         assert self.root is not None
-        lora = self.root / self.lora_name if self.lora_name else None
-        model, params = get_moshi_lm(self.root / self.moshi_name, self.lm_config,
-                                     dtype, lora_weights=lora)
+        if self.native_format:
+            from .native_ckpt import load_params
+            config = (LmConfig.from_dict(self.lm_config)
+                      if self.lm_config else lm_config_v0_1())
+            model = LMModel(config)
+            params = load_params(self.root / self.moshi_name)
+        else:
+            lora = self.root / self.lora_name if self.lora_name else None
+            model, params = get_moshi_lm(self.root / self.moshi_name, self.lm_config,
+                                         dtype, lora_weights=lora)
         if self.model_type == "hibiki":
             # Hibiki sometimes samples EOS (2) too early; replace its embedding
             # with PAD's so early EOS acts as PAD (reference loaders.py:308-313).

@@ -2,9 +2,11 @@
 
 The reference ships importers/exporters between research ckpts and its three
 backends (`scripts/import_*.py`, `export_quantized.py`); this is the
-equivalent for the JAX tree format, including int8 QTensor leaves.  Trees are
-flattened with '/'-joined key paths; QTensor leaves are stored as
-`<path>#q` / `<path>#scale` pairs.
+equivalent for the JAX tree format, including int8/int4 QTensor leaves.
+Trees are flattened with '/'-joined key paths; QTensor leaves are stored as
+`<path>#q` / `<path>#scale` pairs (`#q4`/`#scale4` for 4-bit), list lengths
+as `<path>#len`, and empty dict/list nodes as `<path>#empty` sentinels (Mimi
+trees contain empty `output_projs` entries when no projection is needed).
 """
 
 from pathlib import Path
@@ -12,7 +14,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from ..utils.quantize import QTensor
+from ..utils.quantize import QTensor, QTensor4
 
 
 def _flatten(tree, prefix=""):
@@ -20,7 +22,12 @@ def _flatten(tree, prefix=""):
     if isinstance(tree, QTensor):
         out[prefix + "#q"] = tree.q
         out[prefix + "#scale"] = tree.scale
+    elif isinstance(tree, QTensor4):
+        out[prefix + "#q4"] = tree.q
+        out[prefix + "#scale4"] = tree.scale
     elif isinstance(tree, dict):
+        if not tree and prefix:
+            out[prefix + "#empty"] = jnp.asarray(0, jnp.int32)
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}/{k}" if prefix else k))
     elif isinstance(tree, (list, tuple)):
@@ -43,23 +50,29 @@ def load_params(path: str | Path) -> dict:
     flat = load_safetensors(path)
 
     root: dict = {}
-    lists: set = set()
+    lists: dict = {}
     qts: dict = {}
     for key, value in flat.items():
-        if key.endswith("#len"):
-            lists.add(key[:-4])
-            continue
-        if key.endswith("#q") or key.endswith("#scale"):
+        if "#" in key:
             base, field = key.rsplit("#", 1)
-            qts.setdefault(base, {})[field] = value
+            if field == "len":
+                lists[base] = int(value)
+            elif field == "empty":
+                _insert(root, base.split("/"), {})
+            else:
+                qts.setdefault(base, {})[field] = value
             continue
         _insert(root, key.split("/"), value)
     for base, parts in qts.items():
-        _insert(root, base.split("/"), QTensor(parts["q"], parts["scale"]))
+        if "q4" in parts:
+            leaf = QTensor4(parts["q4"], parts["scale4"])
+        else:
+            leaf = QTensor(parts["q"], parts["scale"])
+        _insert(root, base.split("/"), leaf)
     for base in sorted(lists, key=len, reverse=True):
         node, last = _walk(root, base.split("/"))
-        d = node[last]
-        node[last] = [d[str(i)] for i in range(len(d))]
+        d = node.get(last, {})
+        node[last] = [d[str(i)] for i in range(lists[base])]
     return root
 
 
@@ -73,5 +86,5 @@ def _insert(root, parts, value):
 def _walk(root, parts):
     node = root
     for p in parts[:-1]:
-        node = node[p]
+        node = node.setdefault(p, {})
     return node, parts[-1]

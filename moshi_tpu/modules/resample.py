@@ -85,8 +85,14 @@ class ConvTrUpsample1d:
         return {"weight": jnp.ones((2 * self.stride, 1, 1), dtype)}
 
     def init_state(self, batch_size, dtype=jnp.float32):
-        B = batch_size if self.learnt else batch_size * self.dimension
-        return self.convtr.init_state(B, dtype)
+        if self.learnt:
+            return self.convtr.init_state(batch_size, dtype)
+        B = batch_size * self.dimension
+        # The non-learnt path normalizes by the position-dependent convtr-of-
+        # ones response (resample.py:109-119); stream that response through a
+        # parallel convtr state so early windows match the offline apply().
+        return {"conv": self.convtr.init_state(B, dtype),
+                "norm": self.convtr.init_state(B, dtype)}
 
     def apply(self, params, x):
         B = x.shape[0]
@@ -107,9 +113,9 @@ class ConvTrUpsample1d:
         xr = x.transpose(0, 2, 1).reshape(B * C, T, 1)
         if exec_mask is not None:
             exec_mask = jnp.repeat(exec_mask, C)
-        y, state = self.convtr.step(params, state, xr, exec_mask)
-        # Note: streaming normalisation for the non-learnt path uses the
-        # steady-state convtr-of-ones response (all windows full).
-        norm = jnp.sum(params["weight"]) / self.stride
+        y, conv_state = self.convtr.step(params, state["conv"], xr, exec_mask)
+        norm, norm_state = self.convtr.step(params, state["norm"],
+                                            jnp.ones_like(xr), exec_mask)
         y = y / norm
+        state = {"conv": conv_state, "norm": norm_state}
         return y.reshape(B, C, -1).transpose(0, 2, 1), state

@@ -171,9 +171,12 @@ def main():
     pcm, _ = audio.read_wav(args.infile, sample_rate=mimi.sample_rate)
     in_pcms = np.broadcast_to(pcm[None, :1], (args.batch_size, 1, pcm.shape[-1]))
 
+    # --cfg-coef overrides a cfg_coef stored in the checkpoint's lm_gen_config
+    gen_cfg = dict(info.lm_gen_config)
+    ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
+    cfg_coef = args.cfg_coef if args.cfg_coef != 1.0 else ckpt_cfg_coef
     state = InferenceState(info, mimi, mimi_params, lm, lm_params, tok,
-                           args.batch_size, args.cfg_coef,
-                           **info.lm_gen_config)
+                           args.batch_size, cfg_coef, **gen_cfg)
 
     def on_text(t):
         print(tok.id_to_piece(t).replace("▁", " "), end="", flush=True)

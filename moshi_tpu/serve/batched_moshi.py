@@ -90,8 +90,15 @@ class BatchedMoshiState:
             self.dec_state, self.mimi.init_decode_state(self.batch_size), m)
         fresh = self.lm_gen.init_state(self.batch_size, self.gen_state["rng"])
         new_gen = dict(self.gen_state)
-        for key in ("cache", "offsets", "transformer"):
-            new_gen[key] = masked_reset(self.gen_state[key], fresh[key], m)
+        # The transformer sub-state is allocated at batch_size * model_batch_mult
+        # when CFG doubles the model batch (mirrors the exec_mask tiling in
+        # LMGen._step), so its reset mask must be tiled the same way.
+        m_model = jnp.tile(m, self.lm_gen.model_batch_mult)
+        for key in ("cache", "offsets", "transformer", "text_history", "hist_pos"):
+            if key not in self.gen_state:
+                continue
+            mk = m_model if key == "transformer" else m
+            new_gen[key] = masked_reset(self.gen_state[key], fresh[key], mk)
         self.gen_state = new_gen
         self.skip_frames[slot] = 1
 

@@ -151,3 +151,29 @@ def test_grouped_convtr_matches_torch():
         yt = tconv(xt).numpy()[..., : T * S]
     np.testing.assert_allclose(np.asarray(y), np.transpose(yt, (0, 2, 1)),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("learnt", [True, False])
+def test_upsample_streaming_matches_offline(learnt):
+    """Non-learnt ConvTrUpsample1d normalizes by the position-dependent
+    convtr-of-ones response; streaming must match offline from the very first
+    window (ADVICE r1: early windows used the steady-state norm)."""
+    from moshi_tpu.modules.resample import ConvTrUpsample1d
+
+    B, C, S, frames = 2, 4, 3, 12
+    up = ConvTrUpsample1d(stride=S, dimension=C, learnt=learnt,
+                          channel_wise=learnt)
+    params = up.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, frames, C))
+    y_ref = up.apply(params, x)
+    assert y_ref.shape == (B, frames * S, C)
+
+    for chunk in [1, 4]:
+        state = up.init_state(B)
+        ys = []
+        for off in range(0, frames, chunk):
+            y, state = up.step(params, state, x[:, off:off + chunk])
+            ys.append(y)
+        y_stream = jnp.concatenate(ys, axis=1)
+        np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -88,3 +88,58 @@ def test_native_ckpt_roundtrip():
                                       np.asarray(loaded["emb"]["weight"]))
     finally:
         os.unlink(path)
+
+
+def test_native_ckpt_empty_nodes_and_q4():
+    """Empty dict/list entries (Mimi's output_projs=[{}] when d_model equals
+    the seanet dimension) and QTensor4 leaves must round-trip."""
+    from moshi_tpu.models.native_ckpt import save_params, load_params
+    from moshi_tpu.utils.quantize import quantize_tensor4, QTensor4
+    import tempfile, os
+
+    w = jnp.asarray(np.random.RandomState(0).randn(64, 8), jnp.float32)
+    tree = {
+        "output_projs": [{}, {"weight": jnp.ones((4, 4))}, {}],
+        "empty_list": [],
+        "nested": {"empty": {}, "q4": quantize_tensor4(w)},
+    }
+    with tempfile.NamedTemporaryFile(suffix=".safetensors", delete=False) as f:
+        path = f.name
+    try:
+        save_params(path, tree)
+        loaded = load_params(path)
+        assert loaded["output_projs"][0] == {}
+        assert loaded["output_projs"][2] == {}
+        np.testing.assert_array_equal(
+            np.asarray(tree["output_projs"][1]["weight"]),
+            np.asarray(loaded["output_projs"][1]["weight"]))
+        assert loaded["empty_list"] == []
+        assert loaded["nested"]["empty"] == {}
+        assert isinstance(loaded["nested"]["q4"], QTensor4)
+        np.testing.assert_array_equal(np.asarray(tree["nested"]["q4"].q),
+                                      np.asarray(loaded["nested"]["q4"].q))
+    finally:
+        os.unlink(path)
+
+
+def test_native_ckpt_mimi_roundtrip():
+    """A full Mimi param tree (which contains empty output_projs entries)
+    must survive save/load (ADVICE r1: export was unreadable)."""
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.models.native_ckpt import save_params, load_params
+    import tempfile, os
+
+    mimi = MimiModel(tiny_mimi_config())
+    params = mimi.init_params(jax.random.PRNGKey(0))
+    with tempfile.NamedTemporaryFile(suffix=".safetensors", delete=False) as f:
+        path = f.name
+    try:
+        save_params(path, params)
+        loaded = load_params(path)
+        fs = mimi.frame_size
+        pcm = jnp.asarray(np.random.RandomState(0).randn(1, 1, 2 * fs) * 0.1,
+                          jnp.float32)
+        np.testing.assert_array_equal(np.asarray(mimi.encode(params, pcm)),
+                                      np.asarray(mimi.encode(loaded, pcm)))
+    finally:
+        os.unlink(path)

@@ -105,6 +105,41 @@ def test_checkpoint_dir_loads(tiny_checkpoint):
     assert codes.shape == (1, mimi.num_codebooks, 2)
 
 
+def test_export_quantized_roundtrip(tiny_checkpoint, tmp_path):
+    """export_quantized output must load back through CheckpointInfo.from_dir
+    (ADVICE r1: the native_format key used to be rejected)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import export_quantized
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.utils.quantize import QTensor
+    import jax
+    import jax.numpy as jnp
+
+    out = export_quantized.export(tiny_checkpoint, tmp_path / "q8", min_size=1)
+    info = CheckpointInfo.from_dir(out)
+    assert info.native_format
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi()
+    assert isinstance(lm_params["transformer"]["layers"]["attn"]["in_proj"], QTensor)
+
+    x = jnp.zeros((1, 1, mimi.frame_size * 2))
+    codes = mimi.encode(mimi_params, x)
+    assert codes.shape == (1, mimi.num_codebooks, 2)
+
+    # quantized LM steps produce valid tokens
+    from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
+    gen = LMGen(lm, LMGenConfig(use_sampling=False))
+    st = gen.init_state(1, jax.random.PRNGKey(0), dtype=jnp.float32)
+    n_in = lm.config.num_codebooks - lm.config.dep_q - 1
+    toks = jnp.zeros((1, n_in, 1), jnp.int32)
+    for _ in range(lm.config.max_delay + 2):
+        outt, st = gen.step(lm_params, st, toks)
+    import numpy as np
+    assert (np.asarray(outt) >= 0).all()
+
+
 def test_websocket_server_roundtrip(tiny_checkpoint):
     aiohttp = pytest.importorskip("aiohttp")
     import asyncio

@@ -106,3 +106,37 @@ def test_batched_moshi_slots():
         assert s2 == s0  # slot recycled with reset
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(scenario())
+
+
+def test_batched_moshi_reset_slot_with_cfg():
+    """reset_slot must handle cfg_coef != 1 where the transformer state is
+    allocated at 2x batch (ADVICE r1: raised 'cannot locate batch axis')."""
+    from moshi_tpu.serve.batched_moshi import BatchedMoshiState
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+
+    cfg = tiny_lm_config()
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+
+    state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                              batch_size=2, rng=jax.random.PRNGKey(2),
+                              cfg_coef=2.0, cfg_is_no_text=True)
+    assert state.gen_state["transformer"]["offset"].shape[0] == 4
+    # run a frame so state is nonzero, then reset slot 0
+    fs = state.frame_size
+    pcm = jnp.asarray(np.random.RandomState(0).randn(2, 1, fs) * 0.1, jnp.float32)
+    mask = jnp.ones((2,), bool)
+    _, _, state.gen_state, state.enc_state, state.dec_state = state._frame(
+        lm_params, mimi_params, state.gen_state, state.enc_state,
+        state.dec_state, pcm, mask)
+    assert int(state.gen_state["offsets"][0]) == 1
+    state.reset_slot(0)
+    assert int(state.gen_state["offsets"][0]) == 0
+    assert int(state.gen_state["offsets"][1]) == 1
+    # both CFG halves of slot 0's transformer state were reset
+    tr_off = np.asarray(state.gen_state["transformer"]["offset"])
+    assert tr_off[0] == 0 and tr_off[2] == 0
+    assert tr_off[1] == 1 and tr_off[3] == 1
