@@ -55,6 +55,11 @@ class LmConfig:
     layer_scale: float | None = None
     kv_repeat: int = 1
     cross_attention: bool = False
+    # XaGate zoo + cross-attn options (rust transformer.rs:96-186, lm.rs presets)
+    cross_attention_gating: str = "normal"
+    cross_attention_norm: str = "layer_norm"
+    cross_attention_kv_dim: int | None = None
+    shared_cross_attn: bool = False
     kv_cache_dtype: str = "model"  # model | int8 (TPU-native extension)
     delays: tuple[int, ...] = (0,) * 9
     existing_text_padding_id: int = 3
@@ -135,6 +140,10 @@ class LmConfig:
             max_period=self.max_period, gating=self.gating, norm=self.norm,
             layer_scale=self.layer_scale, kv_repeat=self.kv_repeat,
             cross_attention=self.cross_attention,
+            cross_attention_gating=self.cross_attention_gating,
+            cross_attention_norm=self.cross_attention_norm,
+            cross_attention_kv_dim=self.cross_attention_kv_dim,
+            shared_cross_attn=self.shared_cross_attn,
             kv_cache_dtype=self.kv_cache_dtype)
 
     @property

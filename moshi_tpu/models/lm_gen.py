@@ -102,8 +102,7 @@ class LMGen:
     def init_cross_state(self, state: dict, params: dict, cross_src: jax.Array) -> dict:
         """Precompute cross-attention K/V from conditioning source [B_model, Ts, dim]."""
         cross = self.model.transformer.precompute_cross(
-            params["transformer"]["layers"]
-            if "layers" in params["transformer"] else params["transformer"], cross_src)
+            params["transformer"], cross_src)
         tr = dict(state["transformer"])
         tr.update(cross)
         new = dict(state)

@@ -125,6 +125,57 @@ def _attn_proj(state: dict, prefix: str, name: str, W: int) -> jnp.ndarray:
     return jnp.stack(ws)
 
 
+def _cross_attn_proj_params(state: dict, prefix: str,
+                            cfg: TransformerConfig) -> dict:
+    """Cross-attention projections in any of the three reference layouts:
+    - PyTorch fused `in_projs.0.weight` / `in_proj.weight` [d+2d, d]
+      (moshi/modules/transformer.py:382-420)
+    - rust legacy fused `in_proj_weight` (transformer.rs:216-236)
+    - rust separate `in_proj_weight_q` [d, d] + `in_proj_weight_kv`
+      [2d, kv_in] (transformer.rs:238-261)
+    -> {"q_proj": [d, d], "kv_proj": [kv_in, 2d], "out_proj": [d, d]}."""
+    d = cfg.d_model
+    for name in ("in_projs.0.weight", "in_proj.weight", "in_proj_weight"):
+        k = f"{prefix}.{name}"
+        if k in state:
+            w = state[k]  # [3d, d]
+            return {
+                "q_proj": w[:d].T,
+                "kv_proj": w[d:].T,
+                "out_proj": _out_proj_w(state, prefix),
+            }
+    return {
+        "q_proj": state[f"{prefix}.in_proj_weight_q"].T,
+        "kv_proj": state[f"{prefix}.in_proj_weight_kv"].T,
+        "out_proj": _out_proj_w(state, prefix),
+    }
+
+
+def _out_proj_w(state: dict, prefix: str) -> jnp.ndarray:
+    for name in ("out_projs.0.weight", "out_proj.weight"):
+        k = f"{prefix}.{name}"
+        if k in state:
+            return state[k].T
+    raise KeyError(f"no cross-attention out_proj under {prefix}")
+
+
+def _cross_attn_gate_params(state: dict, prefix: str,
+                            cfg: TransformerConfig) -> dict | None:
+    """XaGate params (rust transformer.rs:119-166): `gate.alpha` for the
+    constant variants; `gate.alpha.0.weight` / `gate.alpha.2.weight[+bias]`
+    for the conditional MLP variants."""
+    g = cfg.cross_attention_gating
+    if g == "normal":
+        return None
+    if g.startswith("constant_gated"):
+        return {"alpha": state[f"{prefix}.gate.alpha"]}
+    p = {"in_proj": _lin(state, f"{prefix}.gate.alpha.0.weight"),
+         "out_proj": _lin(state, f"{prefix}.gate.alpha.2.weight")}
+    if f"{prefix}.gate.alpha.2.bias" in state:
+        p["bias"] = state[f"{prefix}.gate.alpha.2.bias"]
+    return p
+
+
 def transformer_layers_from_torch(state: dict, prefix: str,
                                   cfg: TransformerConfig) -> dict:
     """Convert `<prefix>.layers.{l}.*` into the stacked [L, ...] pytree."""
@@ -159,11 +210,14 @@ def transformer_layers_from_torch(state: dict, prefix: str,
             p["layer_scale_1"] = {"scale": state[f"{lp}.layer_scale_1.scale"]}
             p["layer_scale_2"] = {"scale": state[f"{lp}.layer_scale_2.scale"]}
         if cfg.cross_attention:
-            p["cross_attn"] = {
-                "in_proj": _attn_proj(state, f"{lp}.cross_attention", "in_projs", 1),
-                "out_proj": _attn_proj(state, f"{lp}.cross_attention", "out_projs", 1),
-            }
-            p["norm_cross"] = _norm_params(state, f"{lp}.norm_cross", "layer_norm")
+            if not cfg.shared_cross_attn:
+                p["cross_attn"] = _cross_attn_proj_params(
+                    state, f"{lp}.cross_attention", cfg)
+            gate = _cross_attn_gate_params(state, f"{lp}.cross_attention", cfg)
+            if gate is not None:
+                p["cross_attn_gate"] = gate
+            p["norm_cross"] = _norm_params(state, f"{lp}.norm_cross",
+                                           cfg.cross_attention_norm)
             if cfg.layer_scale is not None:
                 p["layer_scale_cross"] = {"scale": state[f"{lp}.layer_scale_cross.scale"]}
         layers.append(p)
@@ -320,8 +374,7 @@ def lm_params_from_torch_state(model: LMModel, state: dict,
     p = {
         "text_emb": _emb_params(state, "text_emb"),
         "emb": {"weight": jnp.stack([state[f"emb.{k}.weight"] for k in range(c.n_q)])},
-        "transformer": {"layers": transformer_layers_from_torch(
-            state, "transformer", c.transformer_config)},
+        "transformer": _lm_transformer_params(state, c),
         "out_norm": _norm_params(state, "out_norm", c.norm),
         "text_linear": {"weight": _lin(state, "text_linear.weight")},
     }
@@ -340,6 +393,16 @@ def lm_params_from_torch_state(model: LMModel, state: dict,
             state, "depformer", c.depformer_config)}
         p["linears"] = {"weight": jnp.stack(
             [_lin(state, f"linears.{k}.weight") for k in range(c.dep_q)])}
+    return p
+
+
+def _lm_transformer_params(state: dict, c: LmConfig) -> dict:
+    tcfg = c.transformer_config
+    p = {"layers": transformer_layers_from_torch(state, "transformer", tcfg)}
+    if tcfg.cross_attention and tcfg.shared_cross_attn:
+        # All layers share layer 0's projections (rust transformer.rs:800).
+        p["cross_attn_shared"] = _cross_attn_proj_params(
+            state, "transformer.layers.0.cross_attention", tcfg)
     return p
 
 
@@ -365,6 +428,33 @@ def get_moshi_lm(weights_path: str | Path, lm_config: dict | LmConfig | None = N
     return model, params
 
 
+def _depformer_kwargs(num_slices: int) -> dict:
+    """The shared Depformer architecture of every rust preset
+    (rust/moshi-core/src/lm.rs:48-75 `depformer_cfg`): d=1024, 16 heads,
+    6 layers, SiLU-gated hidden 11d/4 (== ff 4224 in the python schema),
+    context = num_slices.  dep_q == num_slices."""
+    return dict(
+        dep_q=num_slices, depformer_dim=1024, depformer_num_heads=16,
+        depformer_num_layers=6, depformer_dim_feedforward=int(4.125 * 1024),
+        depformer_gating="silu", depformer_pos_emb="none",
+        depformer_max_period=10_000.0, depformer_layer_scale=None,
+        depformer_multi_linear=True, depformer_weights_per_step=True)
+
+
+def _acoustic_delays(n_q: int, dep_q: int, delay: int) -> tuple[int, ...]:
+    """Text 0; per stream: semantic codebook 0, acoustic codebooks `delay`
+    (rust lm_generate_multistream.rs acoustic_delay semantics)."""
+    if dep_q == 0:
+        return (0,) * (1 + n_q)
+    out = [0, 0] + [delay] * (dep_q - 1)
+    rest = n_q - dep_q
+    while rest > 0:
+        k = min(rest, dep_q)
+        out += [0] + [delay] * (k - 1)
+        rest -= k
+    return tuple(out)
+
+
 def lm_config_v0_1() -> LmConfig:
     """The canonical Moshi-7B configuration (loaders.py:90-119)."""
     return LmConfig(
@@ -378,6 +468,111 @@ def lm_config_v0_1() -> LmConfig:
         depformer_gating="silu", depformer_pos_emb="none",
         depformer_weights_per_step=True,
         delays=(0, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1))
+
+
+def lm_config_v0_1_vision(num_slices: int = 8, streaming: bool = False) -> LmConfig:
+    """Moshi-7B + gated cross-attention for vision conditioning
+    (rust lm.rs:117-167 `v0_1_vision(_streaming)`): ConditionalGatedSigmoid
+    gates, RmsNorm cross-norm, projections shared across layers."""
+    n_q = 16 if streaming else 8
+    return LmConfig(
+        dim=4096, num_heads=32, num_layers=32, hidden_scale=4.125,
+        context=3000, max_period=10_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=32000, n_q=n_q,
+        cross_attention=True,
+        cross_attention_gating="conditional_gated_sigmoid",
+        cross_attention_norm="rms_norm_f32", shared_cross_attn=True,
+        delays=_acoustic_delays(n_q, num_slices, 1),
+        **_depformer_kwargs(num_slices))
+
+
+def lm_config_tts_v0_1() -> LmConfig:
+    """DSM TTS 1.6B (rust lm.rs:190-227 `tts_v0_1`): ungated LayerNorm
+    cross-attention for voice embeddings, plain GELU MLP."""
+    return LmConfig(
+        dim=2048, num_heads=32, num_layers=48, hidden_scale=4.0,
+        context=4096, max_period=10_000.0, gating="none", norm="layer_norm",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2049, text_card=32000, text_card_out=32001, n_q=16,
+        cross_attention=True, cross_attention_gating="normal",
+        cross_attention_norm="layer_norm",
+        delays=_acoustic_delays(16, 16, 2),
+        **_depformer_kwargs(16))
+
+
+def lm_config_s2s_v0_1(num_slices: int = 16) -> LmConfig:
+    """Speech-to-speech 1B (rust lm.rs:229-278 `s2s_v0_1(_streaming)`)."""
+    return LmConfig(
+        dim=2048, num_heads=16, num_layers=16, hidden_scale=4.125,
+        context=3000, max_period=10_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=48000, n_q=16,
+        delays=_acoustic_delays(16, num_slices, 2),
+        **_depformer_kwargs(num_slices))
+
+
+def lm_config_asr_v0_1_1b() -> LmConfig:
+    """Streaming ASR 1B, no depformer (rust lm.rs:281-316 `asr_v0_1_1b`)."""
+    return LmConfig(
+        dim=2048, num_heads=16, num_layers=16, hidden_scale=4.125,
+        context=750, max_period=100_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=48000, n_q=8, dep_q=0,
+        delays=(0,) * 9)
+
+
+def lm_config_asr_300m_202501() -> LmConfig:
+    """kyutai/stt-class 300M ASR (rust lm.rs:318-352 `asr_300m_202501`)."""
+    return LmConfig(
+        dim=1024, num_heads=8, num_layers=16, hidden_scale=4.125,
+        context=750, max_period=100_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=48000, n_q=32, dep_q=0,
+        delays=(0,) * 33)
+
+
+def lm_config_tts_202501() -> LmConfig:
+    """DSM TTS 2025-01, 32 RVQ (rust lm.rs:355-394 `tts_202501`): ungated
+    LayerNorm cross-attention, SiLU gating, RmsNorm main stack."""
+    return LmConfig(
+        dim=2048, num_heads=32, num_layers=48, hidden_scale=4.125,
+        context=500, max_period=10_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=8000, n_q=32,
+        cross_attention=True, cross_attention_gating="normal",
+        cross_attention_norm="layer_norm",
+        delays=_acoustic_delays(32, 32, 2),
+        **_depformer_kwargs(32))
+
+
+def lm_config_s2s_2b_16rvq_202501() -> LmConfig:
+    """Speech-to-speech 2.6B, 16 generated + 16 input RVQ
+    (rust lm.rs:397-433 `s2s_2b_16rvq_202501`)."""
+    return LmConfig(
+        dim=2560, num_heads=20, num_layers=24, hidden_scale=4.125,
+        context=3000, max_period=100_000.0, gating="silu", norm="rms_norm_f32",
+        positional_embedding="rope", causal=True, layer_scale=None,
+        card=2048, text_card=48000, n_q=32,
+        delays=_acoustic_delays(32, 16, 2),
+        **_depformer_kwargs(16))
+
+
+# Named presets for checkpoints that ship without a config.json (the rust
+# server's hardcoded Config constructors, lm.rs:81-433).  Select via the
+# `preset` key in config.json / worker TOML or CheckpointInfo(preset=...).
+LM_PRESETS = {
+    "v0_1": lm_config_v0_1,
+    "moshi_7b": lm_config_v0_1,
+    "v0_1_vision": lm_config_v0_1_vision,
+    "v0_1_vision_streaming": lambda: lm_config_v0_1_vision(streaming=True),
+    "tts_v0_1": lm_config_tts_v0_1,
+    "s2s_v0_1": lm_config_s2s_v0_1,
+    "asr_v0_1_1b": lm_config_asr_v0_1_1b,
+    "asr_300m_202501": lm_config_asr_300m_202501,
+    "tts_202501": lm_config_tts_202501,
+    "s2s_2b_16rvq_202501": lm_config_s2s_2b_16rvq_202501,
+}
 
 
 # --------------------------------------------------------------- CheckpointInfo
@@ -401,7 +596,16 @@ class CheckpointInfo:
         # param trees in moshi_tpu's own flattened safetensors layout (possibly
         # with QTensor int8/int4 leaves) instead of torch-style key names.
         self.native_format = bool(config.pop("native_format", False))
-        self.lm_config = config if config else None
+        # Rust-served checkpoints ship without full config.json schemas; a
+        # `preset` name selects one of the hardcoded configs (lm.rs:81-433).
+        self.preset = config.pop("preset", None)
+        if self.preset is not None:
+            if self.preset not in LM_PRESETS:
+                raise ValueError(f"unknown LM preset {self.preset!r}; "
+                                 f"known: {sorted(LM_PRESETS)}")
+            self.lm_config = LM_PRESETS[self.preset]()
+        else:
+            self.lm_config = config if config else None
         self.root = root
 
     @classmethod
@@ -415,7 +619,11 @@ class CheckpointInfo:
     def num_mimi_codebooks(self) -> int:
         if self.lm_config is None:
             return 8
-        n = max(self.lm_config["dep_q"], self.lm_config["n_q"] - self.lm_config["dep_q"])
+        if isinstance(self.lm_config, LmConfig):
+            dep_q, n_q = self.lm_config.dep_q, self.lm_config.n_q
+        else:
+            dep_q, n_q = self.lm_config["dep_q"], self.lm_config["n_q"]
+        n = max(dep_q, n_q - dep_q)
         if self.tts_config.get("multistream"):
             n //= 2
         return n
@@ -435,8 +643,12 @@ class CheckpointInfo:
         assert self.root is not None
         if self.native_format:
             from .native_ckpt import load_params
-            config = (LmConfig.from_dict(self.lm_config)
-                      if self.lm_config else lm_config_v0_1())
+            if isinstance(self.lm_config, LmConfig):
+                config = self.lm_config
+            elif self.lm_config:
+                config = LmConfig.from_dict(self.lm_config)
+            else:
+                config = lm_config_v0_1()
             model = LMModel(config)
             params = load_params(self.root / self.moshi_name)
         else:

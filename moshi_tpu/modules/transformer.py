@@ -101,6 +101,21 @@ class TransformerConfig:
     weights_per_step: int = 0
     weights_per_step_schedule: tuple[int, ...] | None = None
     cross_attention: bool = False
+    # Cross-attention gating zoo (rust transformer.rs:96-186 `XaGate`):
+    # normal | constant_gated_tanh | constant_gated_sigmoid |
+    # conditional_gated_tanh | conditional_gated_sigmoid |
+    # conditional_gated_tanh_learnable_bias | conditional_gated_sigmoid_learnable_bias
+    cross_attention_gating: str = "normal"
+    # Norm type in front of cross-attention (rust: per-model — RmsNorm for
+    # vision, LayerNorm for TTS; the third tuple member of rust's
+    # cross_attention config).
+    cross_attention_norm: str = "layer_norm"
+    # Input dim of the cross-attention source (None -> d_model); rust
+    # transformer.rs:238-247 `kv_in_dim`.
+    cross_attention_kv_dim: int | None = None
+    # All layers share one set of cross-attn projections; gates stay
+    # per-layer (rust transformer.rs:800, lm.rs vision presets).
+    shared_cross_attn: bool = False
     # "int8" stores the ring KV cache quantized per (position, head) row,
     # halving KV HBM footprint and attention bandwidth (a TPU-native
     # extension; the reference keeps KV in model dtype).
@@ -136,6 +151,15 @@ class TransformerConfig:
     def hidden(self) -> int:
         return gating_hidden_dim(self.d_model, self.dim_feedforward)
 
+    @property
+    def xa_kv_dim(self) -> int:
+        return self.cross_attention_kv_dim or self.d_model
+
+    @property
+    def xa_gate_hidden(self) -> int:
+        """Conditional-gate MLP hidden width (transformer.rs:141)."""
+        return int(0.125 * self.d_model)
+
     def steps_to_weight_indices(self, steps: jax.Array) -> jax.Array | None:
         """Map absolute step indices [T] to weight indices via the schedule."""
         if self.num_weights == 1:
@@ -158,13 +182,55 @@ class StreamingTransformer:
         self.rope_interleave = c.positional_embedding != "rope_concat"
         self._norm1 = make_norm(c.norm, c.d_model)
         self._norm2 = make_norm(c.norm, c.d_model)
-        self._norm_cross = make_norm("layer_norm", c.d_model)
+        self._norm_cross = make_norm(c.cross_attention_norm, c.d_model)
         self._ls = LayerScale(c.d_model, c.layer_scale) if c.layer_scale is not None else None
 
     # ------------------------------------------------------------------ params
     def init_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
-        """Returns {"layers": <dict of arrays stacked on a [L, ...] axis>}."""
-        return {"layers": self._init_layer_params(key, dtype)}
+        """Returns {"layers": <dict of arrays stacked on a [L, ...] axis>}
+        plus, with shared_cross_attn, a single "cross_attn_shared" projection
+        set outside the layer stack."""
+        c = self.config
+        p = {"layers": self._init_layer_params(key, dtype)}
+        if c.cross_attention and c.shared_cross_attn:
+            p["cross_attn_shared"] = self._init_xa_proj(
+                jax.random.fold_in(key, 17), (), dtype)
+        return p
+
+    def _init_xa_proj(self, key: jax.Array, lead: tuple, dtype) -> dict:
+        c = self.config
+        d = c.d_model
+        keys = jax.random.split(key, 3)
+
+        def trunc(key, shape, fan_in):
+            std = 1.0 / math.sqrt(fan_in)
+            return (jax.random.truncated_normal(key, -3.0, 3.0, shape, jnp.float32) * std).astype(dtype)
+
+        return {
+            "q_proj": trunc(keys[0], lead + (d, d), d),
+            "kv_proj": trunc(keys[1], lead + (c.xa_kv_dim, 2 * d), c.xa_kv_dim),
+            "out_proj": trunc(keys[2], lead + (d, d), d),
+        }
+
+    def _init_xa_gate(self, key: jax.Array, lead: tuple, dtype) -> dict | None:
+        c = self.config
+        g = c.cross_attention_gating
+        if g == "normal":
+            return None
+        if g.startswith("constant_gated"):
+            return {"alpha": jnp.zeros(lead + (1, 1, 1), dtype)}
+        h = c.xa_gate_hidden
+        keys = jax.random.split(key, 2)
+
+        def trunc(key, shape, fan_in):
+            std = 1.0 / math.sqrt(fan_in)
+            return (jax.random.truncated_normal(key, -3.0, 3.0, shape, jnp.float32) * std).astype(dtype)
+
+        p = {"in_proj": trunc(keys[0], lead + (c.d_model, h), c.d_model),
+             "out_proj": trunc(keys[1], lead + (h, c.d_model), h)}
+        if g.endswith("learnable_bias"):
+            p["bias"] = jnp.zeros(lead + (c.d_model,), dtype)
+        return p
 
     def _init_layer_params(self, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         c = self.config
@@ -200,10 +266,11 @@ class StreamingTransformer:
             p["layer_scale_1"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
             p["layer_scale_2"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
         if c.cross_attention:
-            p["cross_attn"] = {
-                "in_proj": trunc(keys[4], (L, 1, d, 3 * d), d),
-                "out_proj": trunc(keys[5], (L, 1, d, d), d),
-            }
+            if not c.shared_cross_attn:
+                p["cross_attn"] = self._init_xa_proj(keys[4], (L,), dtype)
+            gate = self._init_xa_gate(keys[5], (L,), dtype)
+            if gate is not None:
+                p["cross_attn_gate"] = gate
             p["norm_cross"] = _stack_norm_init(self._norm_cross, L, dtype)
             if self._ls is not None:
                 p["layer_scale_cross"] = {"scale": jnp.full((L, d), c.layer_scale, dtype)}
@@ -228,21 +295,54 @@ class StreamingTransformer:
         return state
 
     def precompute_cross(self, params: dict, src: jax.Array) -> dict:
-        """Precompute per-layer cross-attention K/V from `src` [B, Ts, d]
-        (reference cross-attn KV caching: transformer.py:495-531)."""
+        """Precompute cross-attention K/V from `src` [B, Ts, kv_dim]
+        (reference cross-attn KV caching: transformer.py:495-531; rust
+        `CaSrc::KeysValues`).  Returns [L, B, Ts, H, Dh] per-layer K/V, or
+        [B, Ts, H, Dh] (no layer axis) with shared_cross_attn."""
         c = self.config
-        B, Ts, d = src.shape
+        B, Ts, _ = src.shape
 
-        def one_layer(pl):
-            kv = dot(src, pl["in_proj"][0].astype(src.dtype)[:, d:])  # [B, Ts, 2d]
+        def project(kv_w):
+            kv = dot(src, kv_w.astype(src.dtype))  # [B, Ts, 2d]
             k, v = jnp.split(kv, 2, axis=-1)
             k = k.reshape(B, Ts, c.num_heads, c.head_dim)
             v = v.reshape(B, Ts, c.num_heads, c.head_dim)
             return k, v
 
-        layers = params.get("layers", params) if isinstance(params, dict) else params
-        k, v = jax.vmap(one_layer)(layers["cross_attn"])
+        if c.shared_cross_attn:
+            shared = params["cross_attn_shared"] if "cross_attn_shared" in params \
+                else params
+            k, v = project(shared["kv_proj"])
+        else:
+            layers = params.get("layers", params) if isinstance(params, dict) else params
+            k, v = jax.vmap(lambda w: project(w))(layers["cross_attn"]["kv_proj"])
         return {"k_cross": k, "v_cross": v}
+
+    def _apply_xa_gate(self, gate: dict | None, x: jax.Array) -> jax.Array:
+        """Output gating of the cross-attention block (rust XaGate,
+        transformer.rs:96-186).  Applied after out_proj, before the residual
+        add."""
+        g = self.config.cross_attention_gating
+        if g == "normal" or gate is None:
+            return x
+        if g == "constant_gated_tanh":
+            return x * jnp.tanh(gate["alpha"].astype(jnp.float32)).astype(x.dtype)
+        if g == "constant_gated_sigmoid":
+            return x * jax.nn.sigmoid(
+                gate["alpha"].astype(jnp.float32) - 4.0).astype(x.dtype)
+        # conditional: per-channel scales from a small MLP on x
+        a = dot(x, gate["in_proj"].astype(x.dtype))
+        a = jax.nn.relu(a)
+        a = dot(a, gate["out_proj"].astype(a.dtype))
+        if "bias" in gate:
+            a = a + gate["bias"].astype(a.dtype)
+        if "tanh" in g:
+            a = jnp.tanh(a)
+        elif g.endswith("learnable_bias"):
+            a = jax.nn.sigmoid(a)
+        else:
+            a = jax.nn.sigmoid(a - 4.0)
+        return x * a
 
     # ------------------------------------------------------------- layer body
     def _attention(self, q, k, v, mask, k_scale=None, v_scale=None):
@@ -278,7 +378,7 @@ class StreamingTransformer:
         return out.reshape(*out.shape[:2], -1)  # [B, T, Hq*D]
 
     def _layer(self, pl, x, *, complete_kv, mask, rope_offset,
-               widx, k_cross=None, v_cross=None):
+               widx, k_cross=None, v_cross=None, xa_proj=None):
         """One transformer layer.  Returns y.
 
         complete_kv(kk, vv) -> (k_att, v_att): injected KV-cache completion —
@@ -317,11 +417,13 @@ class StreamingTransformer:
 
         # --- cross attention (optional)
         if k_cross is not None:
+            proj = xa_proj if xa_proj is not None else pl["cross_attn"]
             h = self._norm_cross.apply(pl["norm_cross"], x)
-            qx = dot(h, pl["cross_attn"]["in_proj"][0].astype(h.dtype)[:, :d])
+            qx = dot(h, proj["q_proj"].astype(h.dtype))
             qx = qx.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             ca = self._attention(qx, k_cross.astype(x.dtype), v_cross.astype(x.dtype), None)
-            ca = dot(ca, pl["cross_attn"]["out_proj"][0].astype(ca.dtype))
+            ca = dot(ca, proj["out_proj"].astype(ca.dtype))
+            ca = self._apply_xa_gate(pl.get("cross_attn_gate"), ca)
             if "layer_scale_cross" in pl:
                 ca = pl["layer_scale_cross"]["scale"].astype(ca.dtype) * ca
             x = x + ca
@@ -381,23 +483,32 @@ class StreamingTransformer:
             mask = m[None, None]
 
         cross = None
+        shared = self.config.shared_cross_attn
+        xa_shared = params.get("cross_attn_shared")
         if cross_src is not None:
             cross = self.precompute_cross(params, cross_src)
 
         rope_offset = jnp.zeros((B,), jnp.int32)
 
         def body(h, xs):
+            kc = vc = None
             if cross is None:
                 pl = xs
-                kc = vc = None
+            elif shared:
+                pl = xs
+                kc, vc = cross["k_cross"], cross["v_cross"]
             else:
                 pl, kc, vc = xs
             y = self._layer(pl, h, complete_kv=lambda kk, vv: (kk, vv, None, None),
                             mask=mask, rope_offset=rope_offset, widx=widx,
-                            k_cross=kc, v_cross=vc)
+                            k_cross=kc, v_cross=vc,
+                            xa_proj=xa_shared if shared else None)
             return y, None
 
-        xs = params["layers"] if cross is None else (params["layers"], cross["k_cross"], cross["v_cross"])
+        if cross is None or shared:
+            xs = params["layers"]
+        else:
+            xs = (params["layers"], cross["k_cross"], cross["v_cross"])
         x, _ = lax.scan(body, x, xs)
         return x
 
@@ -427,6 +538,8 @@ class StreamingTransformer:
         mask = mask[:, None]  # [B, 1, T, cap]
 
         has_cross = "k_cross" in state
+        shared = self.config.shared_cross_attn
+        xa_shared = params.get("cross_attn_shared")
         barange = jnp.arange(B)
 
         # KV caches ride the scan CARRY with per-layer dynamic updates: XLA
@@ -441,11 +554,13 @@ class StreamingTransformer:
                 h, k_all, v_all, ks_all, vs_all = carry
             else:
                 h, k_all, v_all = carry
-            if has_cross:
+            if has_cross and not shared:
                 pl, l, kx, vx = xs
             else:
                 pl, l = xs
                 kx = vx = None
+                if has_cross:
+                    kx, vx = state["k_cross"], state["v_cross"]
 
             def complete_kv(kk, vv):
                 nonlocal k_all, v_all
@@ -467,13 +582,14 @@ class StreamingTransformer:
 
             y = self._layer(pl, h, complete_kv=complete_kv, mask=mask,
                             rope_offset=offset, widx=widx,
-                            k_cross=kx, v_cross=vx)
+                            k_cross=kx, v_cross=vx,
+                            xa_proj=xa_shared if shared else None)
             if int8_kv:
                 return (y, k_all, v_all, ks_all, vs_all), None
             return (y, k_all, v_all), None
 
         larange = jnp.arange(c.num_layers)
-        if has_cross:
+        if has_cross and not shared:
             xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
         else:
             xs = (params["layers"], larange)

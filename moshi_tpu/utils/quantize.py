@@ -140,7 +140,7 @@ def quantize_tensor4(w: jax.Array, group_size: int = 32) -> QTensor4:
 
 # Param-tree paths that hold linear weights (see models/lm.py param layout).
 _LINEAR_KEYS = ("in_proj", "out_proj", "linear_in", "linear_out", "linear1",
-                "linear2")
+                "linear2", "q_proj", "kv_proj")
 
 
 def quantize_lm_params(params: dict, min_size: int = 1 << 16,
