@@ -1,27 +1,47 @@
-"""Batched multi-tenant streaming ASR server.
+"""Batched multi-tenant streaming ASR server, wire-compatible with the
+reference `moshi-server` batched-ASR module.
 
-Behavioral reference: `rust/moshi-server/src/batched_asr.rs` (163-260): each
-websocket connection is allocated a slot in a fixed batch; one shared
-real-time model loop steps all active slots together over a `StreamMask`
-(inactive slots frozen), per-slot reset on connect/disconnect
-(`asr.rs:255-264`, `kv_cache.rs:92-95`).  Events are sent to each client as
-JSON text frames: {"type": "Word", "text", "start_time"}, {"type": "EndWord",
-"stop_time"}, {"type": "Step", "prs"}, {"type": "Ready"}, {"type": "Marker"}.
+Behavioral reference: `rust/moshi-server/src/batched_asr.rs` + `asr.rs`:
+- each websocket connection is allocated a slot in a fixed batch; one shared
+  real-time model loop steps all active slots together over a `StreamMask`
+  (inactive slots frozen), per-slot reset on connect/disconnect
+  (`batched_asr.rs:163-260`, `kv_cache.rs:92-95`);
+- wire protocol is msgpack maps tagged by "type" in both directions
+  (`asr.rs:15-33`, rmp_serde with_struct_map):
+    in:  Init | Marker{id} | Audio{pcm: [f32]} | OggOpus{data: bytes}
+    out: Ready | Word{text, start_time} | EndWord{stop_time} |
+         Marker{id} | Step{step_idx, prs, buffered_pcm} | Error{message}
+- Markers echo back once all data buffered at registration time has been
+  processed AND the ASR delay has passed:
+  due = step_idx + asr_delay_in_tokens + buffered_frames
+  (`batched_asr.rs:314-327, 422-433`);
+- Step messages carry the extra-head (VAD) probabilities per active slot
+  plus that slot's buffered-pcm backlog (`batched_asr.rs:406-419`).
 
-TPU-native: the batch step is one jitted program; slots' desynchronization is
-an exec mask (the `streaming.py:183-211` semantics covered by
-tests/test_exec_mask.py).
+TPU-native: the batch step is one jitted program; slot desynchronization is
+an exec mask.  A raw-f32-pcm legacy byte framing (b"\\x01"+opus /
+b"\\x08"+f32le) is also accepted for simple clients; msgpack maps start with
+0x80-0x8f/0xde/0xdf so the two framings cannot collide.
 """
 
 import argparse
 import asyncio
-import json
 import time
 from pathlib import Path
 
 import numpy as np
 
 from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
+
+
+def _packb(obj) -> bytes:
+    import msgpack
+    return msgpack.packb(obj, use_single_float=True)
+
+
+def _unpackb(data: bytes):
+    import msgpack
+    return msgpack.unpackb(data)
 
 
 class BatchedAsrState:
@@ -34,6 +54,8 @@ class BatchedAsrState:
         self.slots_free = list(range(self.batch_size))
         self.slot_queues: dict[int, asyncio.Queue] = {}
         self.slot_pcm: dict[int, np.ndarray] = {}
+        # slot -> [(due_step, marker_id)], FIFO per slot (batched_asr.rs:23-41)
+        self.slot_markers: dict[int, list] = {}
         self.frame_size = asr.mimi.frame_size
         self.lock = asyncio.Lock()
 
@@ -44,6 +66,7 @@ class BatchedAsrState:
             slot = self.slots_free.pop()
             self.slot_queues[slot] = asyncio.Queue()
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
+            self.slot_markers[slot] = []
             self.state = self.asr.reset_batch_idx(self.state, slot)
             OPEN_CHANNELS.inc()
             return slot
@@ -52,14 +75,34 @@ class BatchedAsrState:
         async with self.lock:
             self.slot_queues.pop(slot, None)
             self.slot_pcm.pop(slot, None)
+            self.slot_markers.pop(slot, None)
             self.slots_free.append(slot)
             OPEN_CHANNELS.dec()
 
     def feed_pcm(self, slot: int, pcm: np.ndarray):
         self.slot_pcm[slot] = np.concatenate([self.slot_pcm[slot], pcm])
 
+    def add_marker(self, slot: int, marker_id: int):
+        """Register a time-alignment marker: it is echoed back once all
+        currently-buffered audio has been processed and the ASR delay has
+        passed (batched_asr.rs:314-327)."""
+        buffered_frames = self.slot_pcm.get(slot, np.zeros(0)).shape[-1] // self.frame_size
+        due = self.asr.model_step_idx + self.asr.asr_delay_in_tokens + buffered_frames
+        self.slot_markers.setdefault(slot, []).append((due, int(marker_id)))
+
     async def run_loop(self):
-        """The shared real-time batch loop (batched_asr.rs:225-260)."""
+        """The shared real-time batch loop (batched_asr.rs:225-260).  Runs as
+        a fire-and-forget task: exceptions are logged, not swallowed."""
+        import traceback
+        try:
+            await self._run_loop()
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            traceback.print_exc()
+            raise
+
+    async def _run_loop(self):
         fs = self.frame_size
         B = self.batch_size
         while True:
@@ -80,66 +123,100 @@ class BatchedAsrState:
             MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
             TOTAL_STEPS.inc()
             for m in msgs:
-                payload = _msg_to_json(m, self.asr)
-                if payload is None:
-                    continue
-                batch_idx, data = payload
-                q = self.slot_queues.get(batch_idx)
-                if q is not None:
-                    q.put_nowait(data)
+                self._dispatch(m, mask)
+            self._flush_markers()
             await asyncio.sleep(0)
 
+    def _dispatch(self, m, mask):
+        from ..models.asr import AsrWord, AsrEndWord, AsrStep
+        if isinstance(m, AsrWord):
+            self._send(m.batch_idx, {"type": "Word", "text": m.text or "",
+                                     "start_time": m.start_time})
+        elif isinstance(m, AsrEndWord):
+            self._send(m.batch_idx, {"type": "EndWord", "stop_time": m.stop_time})
+        elif isinstance(m, AsrStep):
+            # per-slot columns of the [num_heads, B] probs (batched_asr.rs:406-419)
+            for b in np.nonzero(mask)[0]:
+                b = int(b)
+                if b not in self.slot_queues:
+                    continue
+                self._send(b, {
+                    "type": "Step", "step_idx": int(m.step_idx),
+                    "prs": [float(p) for p in np.asarray(m.prs)[:, b]],
+                    "buffered_pcm": int(self.slot_pcm.get(
+                        b, np.zeros(0)).shape[-1]),
+                })
 
-def _msg_to_json(m, asr):
-    from ..models.asr import AsrWord, AsrEndWord, AsrStep
-    if isinstance(m, AsrWord):
-        return m.batch_idx, {"type": "Word", "text": m.text,
-                             "tokens": [int(t) for t in m.tokens],
-                             "start_time": m.start_time}
-    if isinstance(m, AsrEndWord):
-        return m.batch_idx, {"type": "EndWord", "stop_time": m.stop_time}
-    if isinstance(m, AsrStep):
-        return None  # per-batch step probs are broadcast; skip in ws stream
-    return None
+    def _flush_markers(self):
+        step_idx = self.asr.model_step_idx
+        for slot, markers in self.slot_markers.items():
+            while markers and markers[0][0] <= step_idx:
+                _, marker_id = markers.pop(0)
+                self._send(slot, {"type": "Marker", "id": marker_id})
+
+    def _send(self, slot: int, payload: dict):
+        q = self.slot_queues.get(slot)
+        if q is not None:
+            q.put_nowait(payload)
 
 
 async def handle_asr_socket(request, state: BatchedAsrState):
     from aiohttp import web, WSMsgType
-    from .. import moshi_native
 
-    ws = web.WebSocketResponse()
+    ws = web.WebSocketResponse(autoping=True, heartbeat=10.0)
     await ws.prepare(request)
     CONNECT_COUNT.inc()
     slot = await state.acquire_slot()
     if slot is None:
-        await ws.send_str(json.dumps({"type": "Error", "message": "server full"}))
+        await ws.send_bytes(_packb({"type": "Error", "message": "server full"}))
         await ws.close()
         return ws
     reader = None  # opus reader created lazily (raw-pcm clients don't need it)
-    await ws.send_str(json.dumps({"type": "Ready"}))
+    await ws.send_bytes(_packb({"type": "Ready"}))
 
     async def sender():
         q = state.slot_queues[slot]
         while True:
             msg = await q.get()
-            await ws.send_str(json.dumps(msg))
+            await ws.send_bytes(_packb(msg))
+
+    def opus_pcm(data: bytes) -> np.ndarray:
+        nonlocal reader
+        if reader is None:
+            from .. import moshi_native
+            reader = moshi_native.OpusStreamReader(state.asr.mimi.sample_rate)
+        return np.frombuffer(reader.append_bytes(data), np.float32)
 
     send_task = asyncio.create_task(sender())
     try:
         async for message in ws:
             if message.type != WSMsgType.BINARY or not message.data:
                 continue
-            kind = message.data[0]
-            if kind == 1:  # ogg-opus audio
-                if reader is None:
-                    reader = moshi_native.OpusStreamReader(
-                        state.asr.mimi.sample_rate)
-                pcm = np.frombuffer(reader.append_bytes(message.data[1:]),
-                                    np.float32)
-                if pcm.size:
-                    state.feed_pcm(slot, pcm)
-            elif kind == 8:  # raw f32 pcm (convenience extension)
-                pcm = np.frombuffer(message.data[1:], np.float32)
+            data = message.data
+            kind = data[0]
+            if kind == 1:  # legacy framing: ogg-opus audio
+                pcm = opus_pcm(data[1:])
+            elif kind == 8:  # legacy framing: raw f32le pcm
+                pcm = np.frombuffer(data[1:], np.float32)
+            else:
+                try:
+                    msg = _unpackb(data)
+                    mtype = msg.get("type")
+                except Exception:
+                    continue  # unknown messages are discarded (protocol.md:32)
+                if mtype == "Init":
+                    await ws.send_bytes(_packb({"type": "Ready"}))
+                    continue
+                if mtype == "Marker":
+                    state.add_marker(slot, msg["id"])
+                    continue
+                if mtype == "Audio":
+                    pcm = np.asarray(msg["pcm"], np.float32)
+                elif mtype == "OggOpus":
+                    pcm = opus_pcm(msg["data"])
+                else:
+                    continue
+            if pcm.size:
                 state.feed_pcm(slot, pcm)
     finally:
         send_task.cancel()

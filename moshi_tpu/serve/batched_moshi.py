@@ -26,6 +26,7 @@ from ..models.loaders import CheckpointInfo
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN
 from ..utils.trees import masked_reset
+from . import protocol as proto
 from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
 
 
@@ -121,6 +122,17 @@ class BatchedMoshiState:
             OPEN_CHANNELS.dec()
 
     async def run_loop(self):
+        """Fire-and-forget batch loop; exceptions are logged, not swallowed."""
+        import traceback
+        try:
+            await self._run_loop()
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            traceback.print_exc()
+            raise
+
+    async def _run_loop(self):
         B, fs = self.batch_size, self.frame_size
         while True:
             ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
@@ -193,16 +205,39 @@ async def handle_chat(request, state: BatchedMoshiState):
                 await ws.send_bytes(b"\x02" + text.encode("utf-8"))
 
     send_task = asyncio.create_task(sender())
+    paused = False
     try:
         async for message in ws:
             if message.type != WSMsgType.BINARY or not message.data:
                 continue
-            if message.data[0] == 1:
-                pcm = np.frombuffer(reader.append_bytes(message.data[1:]),
-                                    np.float32)
-                if pcm.size:
+            data = message.data
+            kind = data[0]
+            if kind == proto.MT_AUDIO:
+                pcm = np.frombuffer(reader.append_bytes(data[1:]), np.float32)
+                if pcm.size and not paused:
                     state.slot_pcm[slot] = np.concatenate(
                         [state.slot_pcm[slot], pcm])
+            elif kind == proto.MT_CONTROL and len(data) >= 2:
+                ctrl = data[1]
+                if ctrl == proto.CTRL_PAUSE:
+                    paused = True
+                    state.slot_pcm[slot] = np.zeros((0,), np.float32)
+                elif ctrl == proto.CTRL_START:
+                    paused = False
+                elif ctrl == proto.CTRL_RESTART:
+                    # per-slot reset: fresh streaming state for this user only
+                    state.reset_slot(slot)
+                    state.slot_pcm[slot] = np.zeros((0,), np.float32)
+                    paused = False
+                    await ws.send_bytes(proto.msg(
+                        proto.MT_METADATA,
+                        json.dumps({"event": "restarted"}).encode()))
+            elif kind == proto.MT_PING:
+                await ws.send_bytes(proto.msg(proto.MT_PING))
+            elif kind == proto.MT_ERROR:
+                await ws.close()
+                break
+            # other/unknown message types are discarded (protocol.md:32)
     finally:
         send_task.cancel()
         await state.release_slot(slot)

@@ -4,14 +4,19 @@ Behavioral reference: `moshi/moshi/server.py` — `ServerState` (39-169):
 models in streaming mode with a single-session asyncio lock (160), 4-frame
 warmup (62-72), recv loop: opus -> PCM buffer -> frame-size chunks -> encode
 -> `lm_gen.step` -> decode -> opus out; first-frame skip + encoder reset
-(136-142).  Binary protocol per `rust/protocol.md`: `\\x00` handshake,
-`\\x01` audio (ogg-opus), `\\x02` text.
+(136-142).  Full binary protocol per `rust/protocol.md:1-31`: handshake(0),
+audio(1), text(2), control(3: start/endTurn/pause/restart), metadata(4),
+error(5), ping(6); unknown message types are discarded.  Control semantics
+in full-duplex mode: pause freezes the session (input discarded), start
+resumes, restart resets all streaming state (fresh session in-place);
+endTurn is a no-op here (protocol.md: "not used in full streaming mode").
 
 The opus side uses the native C++ `moshi_native` codec (analog of sphn).
 """
 
 import argparse
 import asyncio
+import json
 import time
 from pathlib import Path
 
@@ -22,6 +27,7 @@ import numpy as np
 from ..models.loaders import CheckpointInfo
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN
+from . import protocol as proto
 
 
 def log(level: str, msg: str):
@@ -38,8 +44,11 @@ class ServerState:
         self.lm, self.lm_params = lm, lm_params
         self.text_tokenizer = text_tokenizer
         self.frame_size = mimi.frame_size
-        self.lm_gen = LMGen(lm, LMGenConfig.from_dict(
-            {**lm_gen_kwargs, "cfg_coef": cfg_coef}))
+        # A cfg_coef stored in the checkpoint's lm_gen_config wins over the
+        # constructor default; callers override it explicitly if needed.
+        merged = dict(lm_gen_kwargs)
+        merged.setdefault("cfg_coef", cfg_coef)
+        self.lm_gen = LMGen(lm, LMGenConfig.from_dict(merged))
         self.lock = asyncio.Lock()
         self.rng_seed = rng_seed
         self.log_dir = log_dir
@@ -129,6 +138,7 @@ class ServerState:
         from aiohttp import WSMsgType
         all_pcm = np.zeros((0,), np.float32)
         skip_frames = 1
+        paused = False
         async for message in ws:
             if message.type in (WSMsgType.ERROR, WSMsgType.CLOSED):
                 break
@@ -136,7 +146,47 @@ class ServerState:
                 continue
             data = message.data
             kind = data[0]
-            if kind != 1:
+            if kind == proto.MT_CONTROL and len(data) >= 2:
+                ctrl = data[1]
+                log("info", f"control: {proto.CONTROL_NAMES.get(ctrl, ctrl)}")
+                if ctrl == proto.CTRL_PAUSE:
+                    paused = True
+                    all_pcm = np.zeros((0,), np.float32)
+                elif ctrl == proto.CTRL_START:
+                    paused = False
+                elif ctrl == proto.CTRL_RESTART:
+                    # fresh session in place: reset all streaming state,
+                    # re-apply the first-frame skip, flush buffers
+                    self.save_session_log()
+                    self.reset()
+                    all_pcm = np.zeros((0,), np.float32)
+                    skip_frames = 1
+                    paused = False
+                    await ws.send_bytes(proto.msg(
+                        proto.MT_METADATA,
+                        json.dumps({"event": "restarted"}).encode()))
+                # endTurn: not used in full streaming mode (protocol.md:19)
+                continue
+            if kind == proto.MT_METADATA:
+                try:
+                    meta = json.loads(data[1:].decode("utf-8"))
+                except (UnicodeDecodeError, json.JSONDecodeError):
+                    meta = None
+                log("info", f"client metadata: {meta}")
+                continue
+            if kind == proto.MT_ERROR:
+                log("error", f"client error: {data[1:].decode('utf-8', 'replace')}")
+                await ws.close()
+                break
+            if kind == proto.MT_PING:
+                await ws.send_bytes(proto.msg(proto.MT_PING))
+                continue
+            if kind != proto.MT_AUDIO:
+                continue  # unknown message types are discarded (protocol.md:32)
+            if paused:
+                # paused sessions discard input (opus stream still consumed so
+                # the decoder stays in sync)
+                opus_reader.append_bytes(data[1:])
                 continue
             pcm = np.frombuffer(opus_reader.append_bytes(data[1:]), np.float32)
             if pcm.size == 0:
@@ -194,10 +244,13 @@ def main():
         from ..text.spm import SentencePieceTokenizer
         tokenizer = SentencePieceTokenizer(tok_path)
 
+    # --cfg-coef overrides a cfg_coef stored in the checkpoint's lm_gen_config
+    gen_cfg = dict(info.lm_gen_config)
+    ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
+    cfg_coef = args.cfg_coef if args.cfg_coef != 1.0 else ckpt_cfg_coef
     state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
-                        args.cfg_coef, log_dir=args.log_dir,
-                        session_timeout=args.session_timeout,
-                        **info.lm_gen_config)
+                        cfg_coef, log_dir=args.log_dir,
+                        session_timeout=args.session_timeout, **gen_cfg)
     log("info", "warming up")
     state.warmup()
 

@@ -58,11 +58,12 @@ def build_module(name: str, mcfg: dict, seed: int):
         from .server import ServerState
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()
+        gen_cfg = dict(info.lm_gen_config)
+        ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
         state = ServerState(info, mimi, mimi_params, lm, lm_params,
                             _load_tokenizer(ckpt, info),
-                            cfg_coef=mcfg.get("cfg_coef", 1.0),
-                            log_dir=mcfg.get("log_dir"),
-                            **info.lm_gen_config)
+                            cfg_coef=mcfg.get("cfg_coef", ckpt_cfg_coef),
+                            log_dir=mcfg.get("log_dir"), **gen_cfg)
         state.warmup()
         return route, state.handle_chat, None, {"type": mtype}
 

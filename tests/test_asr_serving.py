@@ -1,8 +1,7 @@
 """STT offline mode (dep_q=0) through run_inference, and the batched ASR
-websocket service end-to-end with the tiny models."""
+websocket service end-to-end (msgpack wire protocol, Markers, Step/VAD)."""
 
 import asyncio
-import json
 
 import jax
 import jax.numpy as jnp
@@ -15,8 +14,9 @@ from moshi_tpu.models.lm import LMModel
 from moshi_tpu.models.mimi import MimiModel
 
 
-def _tiny_stt():
-    cfg = tiny_lm_config(n_q=4, dep_q=0, delays=(0, 0, 0, 0, 0))
+def _tiny_stt(extra_heads: int = 0):
+    cfg = tiny_lm_config(n_q=4, dep_q=0, delays=(0, 0, 0, 0, 0),
+                         extra_heads_num_heads=extra_heads, extra_heads_dim=2)
     lm = LMModel(cfg)
     lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
     mimi = MimiModel(tiny_mimi_config())
@@ -45,20 +45,24 @@ def test_run_inference_stt_mode():
 
 
 def test_batched_asr_ws_end_to_end():
+    """Drives the reference msgpack protocol (asr.rs:15-33): Init/Ready,
+    Audio, Marker round-trip with delay alignment, Step messages carrying
+    the extra-head probabilities per slot."""
     aiohttp = pytest.importorskip("aiohttp")
+    msgpack = pytest.importorskip("msgpack")
     from aiohttp import web
     from aiohttp.test_utils import TestServer, TestClient
     from moshi_tpu.models.asr import StreamingASR
     from moshi_tpu.serve.batched_asr import BatchedAsrState, handle_asr_socket
-    from moshi_tpu import moshi_native
 
-    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    lm, lm_params, mimi, mimi_params = _tiny_stt(extra_heads=2)
 
     class WordyTok:
         def decode(self, ids):
             return "w" + str(len(ids))
 
-    asr = StreamingASR(mimi, lm, batch_size=2, asr_delay_in_tokens=2,
+    delay = 2
+    asr = StreamingASR(mimi, lm, batch_size=2, asr_delay_in_tokens=delay,
                        temperature=0.0, text_tokenizer=WordyTok())
     state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
 
@@ -72,35 +76,56 @@ def test_batched_asr_ws_end_to_end():
         try:
             ws = await client.ws_connect("/api/asr-streaming")
             msg = await ws.receive()
-            assert msg.type == aiohttp.WSMsgType.TEXT, msg
-            ready = json.loads(msg.data)
-            assert ready["type"] == "Ready"
+            assert msg.type == aiohttp.WSMsgType.BINARY, msg
+            assert msgpack.unpackb(msg.data) == {"type": "Ready"}
+
+            # Init is answered with another Ready (batched_asr.rs:305-313)
+            await ws.send_bytes(msgpack.packb({"type": "Init"}))
+
             rs = np.random.RandomState(0)
             fs = mimi.frame_size
             got = []
-            for _ in range(10):
-                pcm = (rs.randn(fs) * 0.1).astype(np.float32)
-                # use the raw-pcm convenience kind (8)
-                await ws.send_bytes(b"\x08" + pcm.tobytes())
+
+            async def drain(timeout):
                 while True:
                     try:
-                        msg = await asyncio.wait_for(ws.receive(), timeout=0.1)
+                        m = await asyncio.wait_for(ws.receive(), timeout=timeout)
                     except asyncio.TimeoutError:
-                        break
-                    if msg.type == aiohttp.WSMsgType.TEXT:
-                        got.append(json.loads(msg.data))
-            for _ in range(30):
-                try:
-                    msg = await asyncio.wait_for(ws.receive(), timeout=0.2)
-                except asyncio.TimeoutError:
-                    break
-                if msg.type == aiohttp.WSMsgType.TEXT:
-                    got.append(json.loads(msg.data))
+                        return
+                    if m.type == aiohttp.WSMsgType.BINARY:
+                        got.append(msgpack.unpackb(m.data))
+
+            # feed 2 frames, then inject a marker, then more frames
+            for i in range(2):
+                pcm = (rs.randn(fs) * 0.1).astype(np.float32)
+                await ws.send_bytes(msgpack.packb(
+                    {"type": "Audio", "pcm": pcm.tolist()}))
+                await drain(0.1)
+            await ws.send_bytes(msgpack.packb({"type": "Marker", "id": 42}))
+            for i in range(delay + 4):
+                pcm = (rs.randn(fs) * 0.1).astype(np.float32)
+                await ws.send_bytes(msgpack.packb(
+                    {"type": "Audio", "pcm": pcm.tolist()}))
+                await drain(0.1)
+            await drain(0.5)
             await ws.close()
-            # random-weight model may or may not emit Words; the loop must at
-            # least run steps (metrics) without error, and any events parse
+
+            kinds = [e["type"] for e in got]
+            # two Ready: on-connect and the Init reply
+            assert kinds.count("Ready") == 1  # post-handshake Init reply
+            assert "Step" in kinds
+            steps = [e for e in got if e["type"] == "Step"]
+            assert all(len(e["prs"]) == 2 for e in steps)  # 2 extra heads
+            assert all("buffered_pcm" in e and "step_idx" in e for e in steps)
+            # the marker came back, aligned after the delay
+            assert {"type": "Marker", "id": 42} in got
+            midx = got.index({"type": "Marker", "id": 42})
+            # marker must not appear before at least `delay` further steps ran
+            steps_before = [e for e in got[:midx] if e["type"] == "Step"]
+            assert len(steps_before) >= delay
             for e in got:
-                assert e["type"] in ("Word", "EndWord", "Step"), e
+                assert e["type"] in ("Ready", "Word", "EndWord", "Step",
+                                     "Marker"), e
         finally:
             loop_task.cancel()
             await client.close()
@@ -108,3 +133,48 @@ def test_batched_asr_ws_end_to_end():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
     from moshi_tpu.serve.metrics import TOTAL_STEPS
     assert TOTAL_STEPS.value >= 5
+
+
+def test_batched_asr_legacy_framing_still_works():
+    """The pre-msgpack byte framing (b"\\x08" + raw f32) keeps working."""
+    aiohttp = pytest.importorskip("aiohttp")
+    msgpack = pytest.importorskip("msgpack")
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.asr import StreamingASR
+    from moshi_tpu.serve.batched_asr import BatchedAsrState, handle_asr_socket
+
+    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    asr = StreamingASR(mimi, lm, batch_size=1, asr_delay_in_tokens=2,
+                       temperature=0.0)
+    state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/ws", lambda r: handle_asr_socket(r, state))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        loop_task = asyncio.create_task(state.run_loop())
+        try:
+            ws = await client.ws_connect("/ws")
+            msg = await ws.receive()
+            assert msgpack.unpackb(msg.data) == {"type": "Ready"}
+            rs = np.random.RandomState(0)
+            fs = mimi.frame_size
+            n_events = 0
+            for _ in range(6):
+                pcm = (rs.randn(fs) * 0.1).astype(np.float32)
+                await ws.send_bytes(b"\x08" + pcm.tobytes())
+                try:
+                    m = await asyncio.wait_for(ws.receive(), timeout=0.2)
+                    if m.type == aiohttp.WSMsgType.BINARY:
+                        msgpack.unpackb(m.data)
+                        n_events += 1
+                except asyncio.TimeoutError:
+                    pass
+            await ws.close()
+        finally:
+            loop_task.cancel()
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())

@@ -140,6 +140,95 @@ def test_export_quantized_roundtrip(tiny_checkpoint, tmp_path):
     assert (np.asarray(outt) >= 0).all()
 
 
+def test_websocket_server_control_protocol(tiny_checkpoint):
+    """MT 3 control (pause/start/restart), 4 metadata, 6 ping handling per
+    rust/protocol.md:1-31; unknown message types are discarded."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu.serve import protocol as proto
+    from moshi_tpu import moshi_native
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/api/chat")
+            assert await ws.receive_bytes() == b"\x00"
+
+            # ping is answered with ping
+            await ws.send_bytes(bytes([proto.MT_PING]))
+            msg = await asyncio.wait_for(ws.receive_bytes(), timeout=5)
+            assert msg == bytes([proto.MT_PING])
+
+            # metadata is accepted silently
+            await ws.send_bytes(bytes([proto.MT_METADATA]) + b'{"client":"test"}')
+            # unknown message type is discarded silently
+            await ws.send_bytes(bytes([42]) + b"garbage")
+
+            writer = moshi_native.OpusStreamWriter(mimi.sample_rate)
+            rs = np.random.RandomState(0)
+
+            async def send_frames(n):
+                """Send n frames; return audio payload count received."""
+                audio = 0
+                for _ in range(n):
+                    data = writer.append_pcm(
+                        (rs.randn(1920) * 0.05).astype(np.float32))
+                    if data:
+                        await ws.send_bytes(bytes([proto.MT_AUDIO]) + data)
+                    while True:
+                        try:
+                            m = await asyncio.wait_for(ws.receive(), timeout=0.1)
+                        except asyncio.TimeoutError:
+                            break
+                        if m.type == aiohttp.WSMsgType.BINARY:
+                            if m.data[:1] == bytes([proto.MT_AUDIO]):
+                                audio += 1
+                            elif m.data[:1] == bytes([proto.MT_METADATA]):
+                                import json as _json
+                                events.append(_json.loads(m.data[1:]))
+                return audio
+
+            events = []
+            got_before = await send_frames(8)
+            assert got_before > 0, "no audio before pause"
+
+            # pause: input discarded, no output produced
+            await ws.send_bytes(bytes([proto.MT_CONTROL, proto.CTRL_PAUSE]))
+            got_paused = await send_frames(4)
+            assert got_paused == 0, "server produced audio while paused"
+
+            # start resumes (session state continues)
+            await ws.send_bytes(bytes([proto.MT_CONTROL, proto.CTRL_START]))
+            got_resumed = await send_frames(6)
+            assert got_resumed > 0, "no audio after resume"
+
+            # restart resets the session in place and acks with metadata
+            await ws.send_bytes(bytes([proto.MT_CONTROL, proto.CTRL_RESTART]))
+            got_restarted = await send_frames(8)
+            assert any(e.get("event") == "restarted" for e in events)
+            assert got_restarted > 0, "no audio after restart"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
 def test_websocket_server_roundtrip(tiny_checkpoint):
     aiohttp = pytest.importorskip("aiohttp")
     import asyncio
