@@ -29,8 +29,12 @@ def zeros_like_tree(tree):
 
 def build_lm(name: str):
     from moshi_tpu.models.lm import LmConfig, LMModel
-    quantized = name.endswith("_int8")
-    name = name.removesuffix("_int8")
+    quant_mode = None
+    for suffix in ("_int8", "_int4"):
+        if name.endswith(suffix):
+            quant_mode = suffix[1:]
+            name = name.removesuffix(suffix)
+    quantized = quant_mode is not None
     if name == "moshi_7b":
         from moshi_tpu.models.loaders import lm_config_v0_1
         config = lm_config_v0_1()
@@ -48,7 +52,7 @@ def build_lm(name: str):
     init = lambda k: model.init_params(k, jnp.bfloat16)  # noqa: E731
     if quantized:
         from moshi_tpu.utils.quantize import quantize_lm_params
-        init_q = lambda k: quantize_lm_params(init(k))  # noqa: E731
+        init_q = lambda k: quantize_lm_params(init(k), mode=quant_mode)  # noqa: E731
         shapes = jax.eval_shape(init_q, jax.random.PRNGKey(0))
     else:
         shapes = jax.eval_shape(init, jax.random.PRNGKey(0))

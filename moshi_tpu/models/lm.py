@@ -26,7 +26,7 @@ from jax import lax
 
 from ..modules.norm import make_norm
 from ..modules.transformer import TransformerConfig, StreamingTransformer
-from ..utils.matmul import dot, einsum
+from ..utils.matmul import dot, einsum, wdot
 from ..utils.sampling import sample_token
 from ..utils.quantize import take0
 
@@ -73,6 +73,8 @@ class LmConfig:
     depformer_num_layers: int = 2
     depformer_dim_feedforward: int | None = None
     depformer_gating: str = "silu"
+    depformer_norm: str | None = None  # None -> same as `norm`
+    depformer_kv_repeat: int = 1
     depformer_pos_emb: str = "none"
     depformer_max_period: float = 10_000.0
     depformer_layer_scale: float | None = None
@@ -157,7 +159,9 @@ class LmConfig:
             causal=self.causal, context=None,
             positional_embedding=self.depformer_pos_emb,
             max_period=self.depformer_max_period, gating=self.depformer_gating,
-            norm=self.norm, layer_scale=self.depformer_layer_scale,
+            norm=self.depformer_norm or self.norm,
+            kv_repeat=self.depformer_kv_repeat,
+            layer_scale=self.depformer_layer_scale,
             weights_per_step=self.dep_q if self.depformer_weights_per_step else 0,
             weights_per_step_schedule=self.depformer_weights_per_step_schedule)
 
@@ -301,7 +305,7 @@ class LMModel:
 
     def _text_head(self, params: dict, h: jax.Array) -> tuple[jax.Array, jax.Array]:
         h = self._out_norm.apply(params["out_norm"], h)
-        text_logits = dot(h, params["text_linear"]["weight"].astype(h.dtype))
+        text_logits = wdot(h, params["text_linear"]["weight"])
         return h, text_logits
 
     def forward_text(self, params: dict, sequence: jax.Array,
@@ -427,7 +431,7 @@ class LMModel:
             x = (tr_in[k] + pe)[:, None]  # [B_model, 1, dd]
             y, dep_state = self.depformer.step(params["depformer"], dep_state, x,
                                                steps=k[None])
-            logits = dot(y[:, 0], params["linears"]["weight"][k].astype(y.dtype))
+            logits = wdot(y[:, 0], params["linears"]["weight"][k])
             if cfg_coef != 1.0:
                 cond, uncond = jnp.split(logits, 2, axis=0)
                 logits = uncond + (cond - uncond) * cfg_coef

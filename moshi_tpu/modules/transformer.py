@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .norm import make_norm, LayerScale
-from ..utils.matmul import dot, einsum
+from ..utils.matmul import dot, einsum, wdot
 from ..utils.quantize import take0
 from .rope import apply_rope
 
@@ -59,8 +59,12 @@ def _per_step_linear(w: jax.Array, x: jax.Array,
     """Apply stacked per-step weights.  w: [W, din, dout]; x: [B, T, din];
     idx: [T] weight index per position (ignored when W == 1)."""
     if w.shape[0] == 1:
-        return dot(x, w[0].astype(x.dtype))
+        return wdot(x, w[0])
     assert idx is not None, "weights_per_step requires step indices"
+    if idx.shape[0] == 1:
+        # single-step decode (depformer inner step): plain matmul so q4
+        # weights route through the fused Pallas kernel
+        return wdot(x, take0(w, idx)[0])
     wt = take0(w, idx).astype(x.dtype)  # [T, din, dout]
     return einsum("btd,tdo->bto", x, wt)
 
@@ -419,10 +423,10 @@ class StreamingTransformer:
         if k_cross is not None:
             proj = xa_proj if xa_proj is not None else pl["cross_attn"]
             h = self._norm_cross.apply(pl["norm_cross"], x)
-            qx = dot(h, proj["q_proj"].astype(h.dtype))
+            qx = wdot(h, proj["q_proj"])
             qx = qx.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
             ca = self._attention(qx, k_cross.astype(x.dtype), v_cross.astype(x.dtype), None)
-            ca = dot(ca, proj["out_proj"].astype(ca.dtype))
+            ca = wdot(ca, proj["out_proj"])
             ca = self._apply_xa_gate(pl.get("cross_attn_gate"), ca)
             if "layer_scale_cross" in pl:
                 ca = pl["layer_scale_cross"]["scale"].astype(ca.dtype) * ca
@@ -431,9 +435,9 @@ class StreamingTransformer:
         # --- feed forward
         h = self._norm2.apply(pl["norm2"], x)
         if c.gating == "none":
-            u = dot(h, pl["mlp"]["linear1"].astype(h.dtype))
+            u = wdot(h, pl["mlp"]["linear1"])
             u = jax.nn.gelu(u, approximate=False)
-            u = dot(u, pl["mlp"]["linear2"].astype(u.dtype))
+            u = wdot(u, pl["mlp"]["linear2"])
         else:
             u = _per_step_linear(pl["mlp"]["linear_in"], h, widx)
             a, b = jnp.split(u, 2, axis=-1)

@@ -64,15 +64,20 @@ class BatchedMoshiState:
                                                   exec_mask)
             return out, pcm_out, gen_state, enc_state, dec_state
 
-        self._frame = jax.jit(frame)
+        # Donate the streaming states: without donation the KV cache exists
+        # twice (input + output buffers) during the step, which halves the
+        # max batch that fits in HBM.
+        self._frame = jax.jit(frame, donate_argnums=(2, 3, 4))
 
     def warmup(self):
         pcm = jnp.zeros((self.batch_size, 1, self.frame_size), jnp.float32)
         mask = jnp.ones((self.batch_size,), bool)
         for _ in range(3):
-            out = self._frame(self.lm_params, self.mimi_params, self.gen_state,
-                              self.enc_state, self.dec_state, pcm, mask)
-        jax.block_until_ready(out[1])
+            # states must be rebound each call: they are donated to the jit
+            _, pcm_out, self.gen_state, self.enc_state, self.dec_state = \
+                self._frame(self.lm_params, self.mimi_params, self.gen_state,
+                            self.enc_state, self.dec_state, pcm, mask)
+        jax.block_until_ready(pcm_out)
         self.reset_all()
 
     def reset_all(self):

@@ -21,3 +21,37 @@ def dot(x, w):
 def einsum(subscripts, *operands, **kwargs):
     kwargs.setdefault("precision", HIGHEST)
     return jnp.einsum(subscripts, *operands, **kwargs)
+
+
+def _largest_block(n: int, multiple: int, limit: int) -> int | None:
+    """Largest divisor of n that is a multiple of `multiple` and <= limit."""
+    best = None
+    for b in range(multiple, min(limit, n) + 1, multiple):
+        if n % b == 0:
+            best = b
+    return best
+
+
+def wdot(x, w):
+    """x @ w where w may be a quantized QTensor/QTensor4 leaf [din, dout].
+
+    QTensor4 on TPU routes through the fused Pallas unpack-matmul
+    (`ops/q4matmul.py`), keeping HBM weight traffic at 0.5 bytes/element;
+    everywhere else the dequant `astype` is left to XLA (which fuses the
+    int8 convert into the dot but materializes the q4 unpack)."""
+    from .quantize import QTensor4
+    if isinstance(w, QTensor4):
+        from ..ops.q4matmul import q4gemm, use_pallas
+        din, dout = w.shape[-2:]
+        if use_pallas() and w.q.ndim == 3:
+            import math as _math
+            gs = w.q.shape[-2]
+            # block_in must be a lane-aligned (128) multiple of the group size
+            bi = _largest_block(din // 2, _math.lcm(gs, 128), 1024)
+            bo = _largest_block(dout, 128, 1024)
+            if bi is not None and bo is not None:
+                lead = x.shape[:-1]
+                y = q4gemm(x.reshape(-1, din), w.q, w.scale,
+                           block_in=bi, block_out=bo)
+                return y.reshape(*lead, dout)
+    return dot(x, w.astype(x.dtype))

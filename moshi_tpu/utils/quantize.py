@@ -67,8 +67,16 @@ class QTensor4:
     packed into int8 (two values per byte — native int4 arrays cannot cross
     the jit boundary on every backend).
 
-    q: int8 [..., in/gs, gs/2, out], byte = low | (high << 4) along the group
-    axis; scale: f32 [..., in/gs, 1, out].  Logical shape is [..., in, out].
+    Two-plane packing: the byte at logical din position i (i < din/2) holds
+    position i in the LOW nibble and position i + din/2 in the HIGH nibble.
+    This lets a fused kernel unpack each plane with pure elementwise ops and
+    run two plane-matmuls — no interleave/stack relayouts on the TPU VPU
+    (`ops/q4matmul.py`).
+
+    q: int8 [..., in/(2*gs), gs, out]; scale: f32 [..., in/gs, 1, out]
+    (group g of the scale covers din positions [g*gs, (g+1)*gs); the low
+    plane uses groups [0, G/2), the high plane [G/2, G)).  Logical shape is
+    [..., in, out].
     """
 
     q: jax.Array
@@ -83,8 +91,8 @@ class QTensor4:
 
     @property
     def shape(self):
-        *lead, g, gs2, dout = self.q.shape
-        return tuple(lead) + (g * gs2 * 2, dout)
+        *lead, p, gs, dout = self.q.shape
+        return tuple(lead) + (p * gs * 2, dout)
 
     @property
     def ndim(self):
@@ -98,14 +106,23 @@ class QTensor4:
                         jnp.take(self.scale, indices, axis=axis))
 
     def astype(self, dtype):
-        # sign-extending nibble unpack: low = (q << 4) >> 4, high = q >> 4
-        low = jnp.right_shift(jnp.left_shift(self.q, 4), 4)
-        high = jnp.right_shift(self.q, 4)
-        x = jnp.stack([low, high], axis=-2)            # [..., G, gs/2, 2, out]
-        *lead, g, gs2, two, dout = x.shape
-        x = x.reshape(*lead, g, gs2 * two, dout).astype(dtype)
-        x = x * self.scale.astype(dtype)
-        return x.reshape(*lead, g * gs2 * two, dout)
+        low, high = unpack_nibbles(self.q)
+        *lead, p, gs, dout = self.q.shape
+        G = self.scale.shape[-3]
+        s_lo = self.scale[..., : G // 2, :, :].astype(dtype)
+        s_hi = self.scale[..., G // 2:, :, :].astype(dtype)
+        lo = (low.astype(dtype) * s_lo).reshape(*lead, p * gs, dout)
+        hi = (high.astype(dtype) * s_hi).reshape(*lead, p * gs, dout)
+        return jnp.concatenate([lo, hi], axis=-2)
+
+
+def unpack_nibbles(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sign-extend the two 4-bit planes of a packed byte array (int32 math —
+    int8 shifts lower poorly on the TPU VPU)."""
+    x = q.astype(jnp.int32)
+    low = jnp.bitwise_xor(jnp.bitwise_and(x, 0xF), 8) - 8
+    high = jnp.bitwise_xor(jnp.bitwise_and(jnp.right_shift(x, 4), 0xF), 8) - 8
+    return low, high
 
 
 def take0(w, indices):
@@ -125,16 +142,19 @@ def quantize_tensor(w: jax.Array) -> QTensor:
 
 def quantize_tensor4(w: jax.Array, group_size: int = 32) -> QTensor4:
     *lead, din, dout = w.shape
-    assert din % group_size == 0 and group_size % 2 == 0, (din, group_size)
+    assert din % (2 * group_size) == 0, (din, group_size)
     wf = w.astype(jnp.float32).reshape(*lead, din // group_size, group_size, dout)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
-    # pack value pairs along the group axis into nibbles
-    q = q.reshape(*lead, din // group_size, group_size // 2, 2, dout)
-    low, high = q[..., 0, :], q[..., 1, :]
+    # two-plane packing: position i (low nibble) with i + din/2 (high nibble)
+    G = din // group_size
+    q = q.reshape(*lead, G, group_size, dout)
+    low = q[..., : G // 2, :, :]
+    high = q[..., G // 2:, :, :]
     packed = jnp.bitwise_or(jnp.bitwise_and(low, 0x0F),
-                            jnp.left_shift(high, 4)).astype(jnp.int8)
+                            jnp.left_shift(jnp.bitwise_and(high, 0x0F), 4)
+                            ).astype(jnp.int8)
     return QTensor4(packed, scale)
 
 
@@ -171,7 +191,7 @@ def quantize_lm_params(params: dict, min_size: int = 1 << 16,
                           "input_proj"))
                      or grandparent == "output_projs")
         if is_linear:
-            if mode == "int4" and x.shape[-2] % group_size == 0:
+            if mode == "int4" and x.shape[-2] % (2 * group_size) == 0:
                 return quantize_tensor4(x, group_size)
             return quantize_tensor(x)
         return x

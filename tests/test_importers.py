@@ -1,0 +1,242 @@
+"""Research-checkpoint importers: hydra-style torch package -> reference
+on-disk format -> CheckpointInfo, round-tripped against a directly-loaded
+model (reference scripts/import_pytorch.py / import_mimi_pytorch.py)."""
+
+import json
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from test_lm import tiny_lm_config, _build_reference_lm  # noqa: E402
+
+
+def _research_pkg(torch, cfg, out_path: Path):
+    """Synthesize a research-format package: fused weights-per-step depformer
+    projections + hydra-style cfg dict."""
+    ref = _build_reference_lm(torch, cfg)
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    W = cfg.dep_q
+    # research ckpts store the per-step projections fused ([W*out, in])
+    for lay in range(cfg.depformer_num_layers):
+        base = f"depformer.layers.{lay}.self_attn"
+        fused_in = torch.cat([sd.pop(f"{base}.in_projs.{i}.weight")
+                              for i in range(W)], dim=0)
+        sd[f"{base}.in_proj_weight"] = fused_in
+        fused_out = torch.cat([sd.pop(f"{base}.out_projs.{i}.weight")
+                               for i in range(W)], dim=0)
+        sd[f"{base}.out_proj.weight"] = fused_out
+    research_cfg = {
+        "compression_model_n_q": cfg.n_q,
+        "tokens": {"multistream": False},
+        "conditioners": {},
+        "fuser": {"sum": [], "cross": [], "streaming_sum": []},
+        "transformer_lm": {
+            "depformer": True,
+            "delays": list(cfg.delays),
+            "dim": cfg.dim, "text_card": cfg.text_card,
+            "existing_text_padding_id": 3,
+            "num_heads": cfg.num_heads, "num_layers": cfg.num_layers,
+            "hidden_scale": cfg.hidden_scale, "causal": True,
+            "layer_scale": None, "context": cfg.context,
+            "max_period": cfg.max_period, "gating": cfg.gating,
+            "norm": "real_" + cfg.norm,  # importer strips the real_ prefix
+            "positional_embedding": cfg.positional_embedding,
+            "depformer_dim": cfg.depformer_dim,
+            "depformer_num_heads": cfg.depformer_num_heads,
+            "depformer_num_layers": cfg.depformer_num_layers,
+            "depformer_dim_feedforward": cfg.depformer_dim_feedforward,
+            "depformer_layer_scale": None,
+            "depformer_multi_linear": cfg.depformer_multi_linear,
+            "depformer_max_period": 10000.0,
+            "depformer_gating": cfg.depformer_gating,
+            "depformer_pos_emb": cfg.depformer_pos_emb,
+            "depformer_weights_per_step": True,
+            "kv_repeat": 1,
+        },
+    }
+    pkg = {"xp.cfg": research_cfg, "fsdp_best_state": {"model": sd}}
+    torch.save(pkg, str(out_path))
+    return ref
+
+
+def test_import_pytorch_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference
+    import_reference()
+    import import_pytorch
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import lm_params_from_torch_state
+    from refutil import state_dict_to_numpy
+
+    # research checkpoints have a depformer slice per codebook (dep_q == n_q)
+    cfg = tiny_lm_config(n_q=4, dep_q=4)
+    ref = _research_pkg(torch, cfg, tmp_path / "checkpoint.th")
+
+    out = import_pytorch.import_model(tmp_path / "checkpoint.th",
+                                      tmp_path / "imported", sig="ab12cd34",
+                                      epoch=100,
+                                      extra_config={"card": cfg.card})
+    loaded_cfg = json.loads((out / "config.json").read_text())
+    assert loaded_cfg["norm"] == cfg.norm  # real_ prefix stripped
+    assert loaded_cfg["n_q"] == cfg.n_q and loaded_cfg["dep_q"] == cfg.dep_q
+    assert loaded_cfg["model_id"] == {"sig": "ab12cd34", "epoch": 100}
+    assert not loaded_cfg["cross_attention"]
+
+    info = CheckpointInfo.from_dir(out)
+    lm, params = info.get_moshi(dtype=jnp.float32)
+    assert lm.config.dim == cfg.dim and lm.config.dep_q == cfg.dep_q
+
+    # forward parity with a direct load of the (unfused) reference weights
+    direct = LMModel(cfg)
+    state = {k: jnp.asarray(v) for k, v in state_dict_to_numpy(ref).items()}
+    direct_params = lm_params_from_torch_state(direct, state, dtype=jnp.float32)
+
+    rs = np.random.RandomState(0)
+    codes = rs.randint(0, cfg.card, (1, cfg.num_codebooks, 5)).astype(np.int32)
+    codes[:, 0] = rs.randint(0, cfg.text_card, (1, 5))
+    out_a = lm.forward(params, jnp.asarray(codes))
+    out_b = direct.forward(direct_params, jnp.asarray(codes))
+    ma = np.asarray(out_a["text_mask"])
+    np.testing.assert_allclose(np.asarray(out_a["text_logits"])[ma],
+                               np.asarray(out_b["text_logits"])[ma],
+                               rtol=1e-5, atol=1e-5)
+    la = np.asarray(out_a["mask"])
+    np.testing.assert_allclose(np.asarray(out_a["logits"])[la],
+                               np.asarray(out_b["logits"])[la],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_import_pytorch_trims_depformer(tmp_path):
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference
+    import_reference()
+    import import_pytorch
+    from moshi_tpu.models.loaders import CheckpointInfo
+
+    cfg = tiny_lm_config(n_q=4, dep_q=4)
+    ref = _research_pkg(torch, cfg, tmp_path / "checkpoint.th")
+    out = import_pytorch.import_model(tmp_path / "checkpoint.th",
+                                      tmp_path / "trimmed", out_n_q=2,
+                                      extra_config={"card": cfg.card})
+    loaded_cfg = json.loads((out / "config.json").read_text())
+    assert loaded_cfg["dep_q"] == 2
+
+    info = CheckpointInfo.from_dir(out)
+    lm, params = info.get_moshi(dtype=jnp.float32)
+    assert lm.config.dep_q == 2
+    assert params["linears"]["weight"].shape[0] == 2
+
+    # the trimmed model's first-2-codebook logits match the full model's
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import lm_params_from_torch_state
+    from refutil import state_dict_to_numpy
+    direct = LMModel(cfg)
+    state = {k: jnp.asarray(v) for k, v in state_dict_to_numpy(ref).items()}
+    direct_params = lm_params_from_torch_state(direct, state, dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    codes = rs.randint(0, cfg.card, (1, cfg.num_codebooks, 5)).astype(np.int32)
+    codes[:, 0] = rs.randint(0, cfg.text_card, (1, 5))
+    out_t = lm.forward(params, jnp.asarray(codes))
+    out_f = direct.forward(direct_params, jnp.asarray(codes))
+    mt = np.asarray(out_t["mask"])
+    np.testing.assert_allclose(np.asarray(out_t["logits"])[mt],
+                               np.asarray(out_f["logits"][:, :2])[mt],
+                               rtol=1e-5, atol=1e-5)
+
+    # one-step generation works on the trimmed model
+    from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
+    gen = LMGen(lm, LMGenConfig(use_sampling=False))
+    st = gen.init_state(1, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jnp.zeros((1, lm.config.num_codebooks - 3, 1), jnp.int32)
+    o, st = gen.step(params, st, toks)
+    assert o.shape == (1, 3, 1)  # text + 2 codebooks
+
+
+def test_import_mimi_pytorch_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference
+    import_reference()
+    import import_mimi_pytorch
+    from test_server import tiny_checkpoint  # noqa: F401
+
+    # build a tiny research-style mimi package: weight-norm split pairs +
+    # wavlm heads that must be dropped
+    from moshi.modules import SEANetEncoder, SEANetDecoder
+    from moshi.modules import transformer as ref_transformer
+    from moshi.quantization import SplitResidualVectorQuantizer
+    from moshi.models import compression as ref_compression
+
+    sn = dict(channels=1, dimension=32, causal=True, n_filters=4,
+              n_residual_layers=1, activation="ELU", compress=2,
+              dilation_base=2, disable_norm_outer_blocks=0, kernel_size=7,
+              residual_kernel_size=3, last_kernel_size=3, norm="none",
+              pad_mode="constant", ratios=[4, 3, 2], true_skip=True)
+    trk = dict(d_model=32, num_heads=2, num_layers=1, causal=True,
+               layer_scale=0.01, context=25, conv_layout=True,
+               max_period=10000, gating="none", norm="layer_norm",
+               positional_embedding="rope", dim_feedforward=64,
+               input_dimension=32, output_dimensions=[32])
+    qk = dict(dimension=16, n_q=4, bins=32, input_dimension=32,
+              output_dimension=32)
+    torch.manual_seed(0)
+    quantizer = SplitResidualVectorQuantizer(**qk)
+    with torch.no_grad():
+        for rvq in (quantizer.rvq_first, quantizer.rvq_rest):
+            for layer in rvq.vq.layers:
+                cb = layer._codebook
+                cb.embedding_sum.normal_()
+                cb.cluster_usage.uniform_(0.5, 2.0)
+                cb._initialized.fill_(1)
+    rmimi = ref_compression.MimiModel(
+        SEANetEncoder(**sn), SEANetDecoder(**sn), quantizer, channels=1,
+        sample_rate=24000, frame_rate=12.5, encoder_frame_rate=1000,
+        causal=True, resample_method="conv",
+        encoder_transformer=ref_transformer.ProjectedTransformer(**trk),
+        decoder_transformer=ref_transformer.ProjectedTransformer(**trk)).eval()
+    sd = {k: v.clone() for k, v in rmimi.state_dict().items()}
+    # split one conv weight into a weight-norm pair the importer must fold
+    key = "encoder.model.0.conv.conv.weight"
+    w = sd.pop(key)
+    norm = w.norm(2, dim=(1, 2), keepdim=True)
+    sd[key + "_g"] = norm
+    sd[key + "_v"] = w / norm
+    sd["wavlm_head.weight"] = torch.zeros(3, 3)
+
+    research_cfg = {
+        "channels": 1, "sample_rate": 24000,
+        "encodec": {"frame_rate": 12.5},
+        "seanet": {**{k: v for k, v in sn.items()
+                      if k not in ("activation", "causal", "norm",
+                                   "disable_norm_outer_blocks", "true_skip")},
+                   "lstm": 0, "encoder": {}, "decoder": {}},
+        "rvq": {**qk, "q_dropout": True},
+        "transformer": {k: v for k, v in trk.items()
+                        if k not in ("conv_layout", "input_dimension",
+                                     "output_dimensions")},
+    }
+    pkg = {"xp.cfg": research_cfg, "best_state": {"model": sd}}
+    torch.save(pkg, str(tmp_path / "mimi.th"))
+
+    out = import_mimi_pytorch.import_model(tmp_path / "mimi.th",
+                                           tmp_path / "imported")
+    mc = json.loads((out / "mimi_config.json").read_text())
+    assert mc["quantizer"] == {"dimension": 16, "n_q": 4, "bins": 32,
+                               "input_dimension": 32, "output_dimension": 32}
+    assert "lstm" not in mc["seanet"]
+
+    from moshi_tpu.models.loaders import get_mimi
+    mimi, params = get_mimi(out / "mimi.safetensors", mc, num_codebooks=4)
+    # codes parity with the original torch model (weight-norm folded back)
+    rs = np.random.RandomState(0)
+    pcm = (rs.randn(1, 1, 2 * 1920) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        codes_ref = rmimi.encode(torch.from_numpy(pcm)).numpy()
+    codes = np.asarray(mimi.encode(params, jnp.asarray(pcm)))
+    np.testing.assert_array_equal(codes, codes_ref)

@@ -24,7 +24,7 @@ def test_quantize4_roundtrip():
     w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 128)) * 0.05
     q = quantize_tensor4(w, 32)
     assert q.shape == (4, 64, 128)
-    assert q.q.dtype == jnp.int8 and q.q.shape == (4, 2, 16, 128)  # packed
+    assert q.q.dtype == jnp.int8 and q.q.shape == (4, 1, 32, 128)  # two-plane packed
     err = jnp.abs(q.astype(jnp.float32) - w).max() / jnp.abs(w).max()
     assert float(err) < 0.12  # 15 levels per group
     sub = q[1]
@@ -87,3 +87,40 @@ def test_quantized_lm_step_close_to_fp():
         total += a.size
     # greedy decode streams drift eventually, but early agreement should be high
     assert agree / total > 0.5, (agree, total)
+
+
+def test_q4gemm_kernel_matches_astype():
+    """Fused two-plane unpack kernel (interpret mode) vs QTensor4.astype."""
+    from moshi_tpu.utils.quantize import quantize_tensor4
+    from moshi_tpu.ops.q4matmul import q4gemm
+
+    rs = np.random.RandomState(0)
+    for B, din, dout in ((1, 256, 384), (4, 512, 256)):
+        w = jnp.asarray(rs.randn(din, dout).astype(np.float32))
+        qt = quantize_tensor4(w, group_size=32)
+        # the kernel dequantizes to bf16 in-register by design
+        x = jnp.asarray(rs.randn(B, din).astype(np.float32), jnp.bfloat16)
+        y_ref = jnp.matmul(x, qt.astype(jnp.bfloat16))
+        y = q4gemm(x, qt.q, qt.scale, block_in=128, block_out=128,
+                   interpret=True)
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(y_ref, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_wdot_dispatch_fallback():
+    """wdot on CPU falls back to the XLA astype path for all leaf kinds."""
+    from moshi_tpu.utils.matmul import wdot
+    from moshi_tpu.utils.quantize import quantize_tensor, quantize_tensor4
+
+    rs = np.random.RandomState(1)
+    w = jnp.asarray(rs.randn(256, 128).astype(np.float32))
+    x = jnp.asarray(rs.randn(2, 3, 256).astype(np.float32))
+    y_plain = wdot(x, w)
+    assert y_plain.shape == (2, 3, 128)
+    y8 = wdot(x, quantize_tensor(w))
+    y4 = wdot(x, quantize_tensor4(w))
+    # quantization error only
+    ref = np.asarray(jnp.matmul(x, w))
+    assert np.abs(np.asarray(y8) - ref).max() / np.abs(ref).max() < 0.05
+    assert np.abs(np.asarray(y4) - ref).max() / np.abs(ref).max() < 0.2
