@@ -81,6 +81,111 @@ def bench_paced(lm_name: str, steps: int, out_path: str | None,
     return summary
 
 
+def _zeros_like_tree(shapes):
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _preset_lm(name: str, dtype=jnp.bfloat16):
+    from moshi_tpu.models.loaders import LM_PRESETS
+    from moshi_tpu.models.lm import LMModel
+    config = LM_PRESETS[name]()
+    model = LMModel(config)
+    shapes = jax.eval_shape(lambda k: model.init_params(k, dtype),
+                            jax.random.PRNGKey(0))
+    return model, _zeros_like_tree(shapes)
+
+
+def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
+              steps: int = 50, out_path: str | None = None) -> dict:
+    """Batched streaming-ASR step benchmark: mimi encode + host-side delayed
+    feeding + LM step + word state machine — the real `step_pcm` round-trip
+    that `serve/batched_asr.py` pays per 80 ms frame (reference metric:
+    `asr_model_step_duration` buckets 20-80 ms, metrics.rs:21-25)."""
+    from bench import build_mimi
+    from moshi_tpu.models.asr import StreamingASR
+
+    lm, lm_params = _preset_lm(model_name)
+    mimi, mimi_params = build_mimi(min(lm.config.n_q, 32))
+    asr = StreamingASR(mimi, lm, batch, asr_delay_in_tokens=6,
+                       temperature=0.0)
+    state = asr.init_state(jax.random.PRNGKey(0))
+    fs = mimi.frame_size
+    rs = np.random.RandomState(0)
+
+    events = []
+    for i in range(steps + 5):
+        pcm = (rs.randn(batch, 1, fs) * 0.05).astype(np.float32)
+        t0 = time.perf_counter()
+        msgs, state = asr.step_pcm(mimi_params, lm_params, state, pcm,
+                                   exec_mask=np.ones((batch,), bool))
+        dt = time.perf_counter() - t0
+        if i >= 5:
+            events.append({"event": "asr_step", "step": i, "ms": dt * 1000,
+                           "n_msgs": len(msgs)})
+    durations = sorted(e["ms"] for e in events)
+    summary = {
+        "mode": "asr", "model": model_name, "batch": batch,
+        "steps": len(events),
+        "p50_ms": durations[len(durations) // 2],
+        "p90_ms": durations[int(len(durations) * 0.9)],
+        "ms_per_user_p50": durations[len(durations) // 2] / batch,
+        "realtime": durations[int(len(durations) * 0.9)] < 80.0,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"summary": summary, "events": events}, f)
+    return summary
+
+
+def bench_tts(model_name: str = "tts_v0_1", steps: int = 50,
+              out_path: str | None = None) -> dict:
+    """Streaming-TTS frame benchmark: the full host loop of
+    `serve/tts_ws.TTSStreamer.step` — temporal step -> host text state
+    machine -> depformer -> mimi decode, with the device<->host round trip
+    the DSM text machine requires each frame (reference: tts.py:602-619)."""
+    from bench import build_mimi
+    from moshi_tpu.models.tts import TTSModel, StateMachine, TokenIds
+    from moshi_tpu.serve.tts_ws import TTSStreamer
+
+    lm, lm_params = _preset_lm(model_name)
+    c = lm.config
+    mimi, mimi_params = build_mimi(min(c.dep_q, 32))
+
+    class _Tok:
+        def encode(self, word):
+            return [7 + (len(word) % 13)]
+
+    machine = StateMachine(TokenIds(card=c.text_card + 1), max_padding=8,
+                           initial_padding=2)
+    tts = TTSModel(lm, mimi, _Tok(), machine, delay_steps=25, temp=0.6,
+                   n_q=c.dep_q, max_gen_length=10_000, final_padding=4)
+    streamer = TTSStreamer(tts, lm_params, mimi_params, jax.random.PRNGKey(0))
+
+    events = []
+    for i in range(steps + 5):
+        # keep the word queue fed so the machine never starves
+        if len(streamer.state.entries) < 4:
+            streamer.feed_words(["hello world how are you"])
+        t0 = time.perf_counter()
+        pcm, _ = streamer.step()
+        dt = time.perf_counter() - t0
+        if i >= 5:
+            events.append({"event": "tts_step", "step": i, "ms": dt * 1000,
+                           "audio": pcm is not None})
+    durations = sorted(e["ms"] for e in events)
+    summary = {
+        "mode": "tts", "model": model_name, "steps": len(events),
+        "p50_ms": durations[len(durations) // 2],
+        "p90_ms": durations[int(len(durations) * 0.9)],
+        "frames_per_s": 1000.0 / max(durations[len(durations) // 2], 1e-9),
+        "realtime": durations[int(len(durations) * 0.9)] < 80.0,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"summary": summary, "events": events}, f)
+    return summary
+
+
 def bench_mimi_only(steps: int = 100) -> dict:
     from bench import build_mimi
     mimi, mimi_params = build_mimi(8)
@@ -114,9 +219,18 @@ def main():
     parser.add_argument("--out", default=None, help="JSON event log path")
     parser.add_argument("--no-pacing", action="store_true")
     parser.add_argument("--mimi-only", action="store_true")
+    parser.add_argument("--mode", default="duplex",
+                        choices=("duplex", "tts", "asr"))
+    parser.add_argument("--batch", type=int, default=8, help="asr batch size")
     args = parser.parse_args()
     if args.mimi_only:
         print(json.dumps(bench_mimi_only(args.steps)))
+    elif args.mode == "asr":
+        name = args.model if args.model != "moshi_2b" else "asr_300m_202501"
+        print(json.dumps(bench_asr(name, args.batch, args.steps, args.out)))
+    elif args.mode == "tts":
+        name = args.model if args.model != "moshi_2b" else "tts_v0_1"
+        print(json.dumps(bench_tts(name, args.steps, args.out)))
     else:
         print(json.dumps(bench_paced(args.model, args.steps, args.out,
                                      paced=not args.no_pacing)))

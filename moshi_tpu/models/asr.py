@@ -95,6 +95,7 @@ class StreamingASR:
                       for _ in range(batch_size)]
         self.model_step_idx = 0
         self._step_fn = jax.jit(self._device_step)
+        self._encode_fn = jax.jit(self.mimi.encode_step)
 
     # ------------------------------------------------------------- device part
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
@@ -139,8 +140,8 @@ class StreamingASR:
     def step_pcm(self, mimi_params, lm_params, state: dict, pcm,
                  exec_mask=None) -> tuple[list, dict]:
         """pcm: [B, 1, n*frame_size] -> (messages, new state)."""
-        codes, mimi_state = self.mimi.encode_step(mimi_params, state["mimi"],
-                                                  jnp.asarray(pcm), exec_mask)
+        codes, mimi_state = self._encode_fn(mimi_params, state["mimi"],
+                                            jnp.asarray(pcm), exec_mask)
         state = dict(state)
         state["mimi"] = mimi_state
         msgs, state = self.step_tokens(lm_params, state, np.asarray(codes), exec_mask)

@@ -575,11 +575,50 @@ LM_PRESETS = {
 }
 
 
+# --------------------------------------------------------------- HF hub
+def hf_get(filename: str | Path, hf_repo: str | None = None,
+           check_local_file_exists: bool = False,
+           revision: str | None = None) -> Path:
+    """Resolve a file that may live on the Hugging Face hub
+    (reference loaders.py:122-142): `hf://repo/name/file` pulls from another
+    repo, `file://` forces a local read, a bare name resolves inside
+    `hf_repo` (hub download with local cache), otherwise a local path."""
+    if isinstance(filename, Path):
+        return filename
+    if filename.startswith("hf://"):
+        parts = filename.removeprefix("hf://").split("/")
+        repo_name = parts[0] + "/" + parts[1]
+        return Path(_hf_hub_download(repo_name, "/".join(parts[2:]),
+                                     revision=revision))
+    if filename.startswith("file://"):
+        return Path(filename.removeprefix("file://"))
+    if hf_repo is not None:
+        if check_local_file_exists and Path(filename).exists():
+            return Path(filename)
+        return Path(_hf_hub_download(hf_repo, filename, revision=revision))
+    return Path(filename)
+
+
+def _hf_hub_download(repo: str, filename: str, revision: str | None = None) -> str:
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "huggingface_hub is required to resolve hub checkpoints; "
+            "pass local paths instead") from e
+    return hf_hub_download(repo, filename, revision=revision)
+
+
 # --------------------------------------------------------------- CheckpointInfo
 class CheckpointInfo:
-    """Parses the reference repository `config.json` (loaders.py:145-280)."""
+    """Parses the reference repository `config.json` (loaders.py:145-280).
 
-    def __init__(self, config: dict | None, root: Path | None = None):
+    Files are resolved either under a local `root` directory
+    (`from_dir`) or through explicit per-file paths (`from_hf_repo`,
+    which downloads into the standard huggingface cache layout)."""
+
+    def __init__(self, config: dict | None, root: Path | None = None,
+                 paths: dict | None = None):
         config = dict(config or {})
         self.raw_config = dict(config)
         self.moshi_name = config.pop("moshi_name", "model.safetensors")
@@ -607,6 +646,17 @@ class CheckpointInfo:
         else:
             self.lm_config = config if config else None
         self.root = root
+        self.paths = dict(paths or {})
+
+    def _path(self, key: str, name: str | None) -> Path:
+        if key in self.paths:
+            return self.paths[key]
+        assert self.root is not None and name is not None, (key, name)
+        return self.root / name
+
+    @property
+    def tokenizer_path(self) -> Path:
+        return self._path("tokenizer", self.tokenizer_name)
 
     @classmethod
     def from_dir(cls, path: str | Path) -> "CheckpointInfo":
@@ -615,6 +665,55 @@ class CheckpointInfo:
         if (path / "config.json").exists():
             cfg = json.loads((path / "config.json").read_text())
         return cls(cfg, root=path)
+
+    @classmethod
+    def from_hf_repo(cls, hf_repo: str,
+                     moshi_weights: Path | str | None = None,
+                     mimi_weights: Path | str | None = None,
+                     tokenizer: Path | str | None = None,
+                     config_path: Path | str | None = None,
+                     mimi_config_path: Path | str | None = None,
+                     lora_weights: Path | str | None = None,
+                     revision: str | None = None) -> "CheckpointInfo":
+        """Download the checkpoint files from a hub repo (with per-file
+        overrides, each a local path or `hf://` URI) — reference
+        loaders.py:180-280.  Repos without a config.json are assumed to be
+        Moshi-7B-era legacy repos."""
+        import warnings
+        cfg = None
+        if config_path is None:
+            try:
+                config_path = hf_get("config.json", hf_repo, revision=revision)
+            except Exception:
+                warnings.warn(f"Repository {hf_repo} contains no config.json; "
+                              "assuming a legacy Moshi 7B layout.")
+        if config_path is not None:
+            cfg = json.loads(Path(config_path).read_text())
+        info = cls(cfg)
+
+        def resolve(override, name):
+            if override is not None:
+                return hf_get(override, revision=revision)
+            if name is None:
+                return None
+            return hf_get(name, hf_repo, revision=revision)
+
+        info.paths = {
+            "moshi": resolve(moshi_weights, info.moshi_name),
+            "mimi": resolve(mimi_weights, info.mimi_name),
+            "tokenizer": resolve(tokenizer, info.tokenizer_name),
+        }
+        mc = (hf_get(mimi_config_path, revision=revision)
+              if mimi_config_path is not None
+              else resolve(None, info.mimi_config_name))
+        if mc is not None:
+            info.paths["mimi_config"] = mc
+        lora = (hf_get(lora_weights, revision=revision)
+                if lora_weights is not None
+                else resolve(None, info.lora_name))
+        if lora is not None:
+            info.paths["lora"] = lora
+        return info
 
     def num_mimi_codebooks(self) -> int:
         if self.lm_config is None:
@@ -629,18 +728,19 @@ class CheckpointInfo:
         return n
 
     def get_mimi(self):
-        assert self.root is not None
         mimi_cfg = None
-        if self.mimi_config_name:
+        if "mimi_config" in self.paths:
+            mimi_cfg = json.loads(Path(self.paths["mimi_config"]).read_text())
+        elif self.mimi_config_name:
             mimi_cfg = json.loads((self.root / self.mimi_config_name).read_text())
+        mimi_path = self._path("mimi", self.mimi_name)
         if self.native_format:
             from .native_ckpt import load_params
             model = MimiModel(mimi_config_from_dict(mimi_cfg, self.num_mimi_codebooks()))
-            return model, load_params(self.root / self.mimi_name)
-        return get_mimi(self.root / self.mimi_name, mimi_cfg, self.num_mimi_codebooks())
+            return model, load_params(mimi_path)
+        return get_mimi(mimi_path, mimi_cfg, self.num_mimi_codebooks())
 
     def get_moshi(self, dtype=jnp.bfloat16):
-        assert self.root is not None
         if self.native_format:
             from .native_ckpt import load_params
             if isinstance(self.lm_config, LmConfig):
@@ -650,11 +750,15 @@ class CheckpointInfo:
             else:
                 config = lm_config_v0_1()
             model = LMModel(config)
-            params = load_params(self.root / self.moshi_name)
+            params = load_params(self._path("moshi", self.moshi_name))
         else:
-            lora = self.root / self.lora_name if self.lora_name else None
-            model, params = get_moshi_lm(self.root / self.moshi_name, self.lm_config,
-                                         dtype, lora_weights=lora)
+            if "lora" in self.paths:
+                lora = self.paths["lora"]
+            else:
+                lora = self.root / self.lora_name if self.lora_name else None
+            model, params = get_moshi_lm(self._path("moshi", self.moshi_name),
+                                         self.lm_config, dtype,
+                                         lora_weights=lora)
         if self.model_type == "hibiki":
             # Hibiki sometimes samples EOS (2) too early; replace its embedding
             # with PAD's so early EOS acts as PAD (reference loaders.py:308-313).

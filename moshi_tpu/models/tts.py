@@ -179,10 +179,10 @@ def script_to_entries(tokenizer, token_ids: TokenIds, frame_rate: float,
             padding = max(0, padding_between + len(tokens) - 1)
         entries.append(Entry(tokens=tokens, text=word, padding=padding))
 
+    from ..text.tts_preprocess import normalize
     for idx, line in enumerate(script):
         first_content = True
-        line = line.replace("’", "'").replace(":", " ")
-        line = line.replace("(", "").replace(")", "")
+        line = normalize(line)
         while line:
             match = event_re.search(line)
             if match is None:

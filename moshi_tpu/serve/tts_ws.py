@@ -51,14 +51,41 @@ class TTSStreamer:
         self._no_dep = jnp.full((1, c.dep_q, 1), ZERO_TOKEN, jnp.int32)
         self._gen_delays = np.asarray(c.delays[c.audio_offset:c.audio_offset + c.dep_q])
         self._main = jax.jit(self.gen.main_step)
-        self._depth = jax.jit(self.gen.depth_step)
-        self._decode = jax.jit(tts.mimi.decode_step)
+
+        # Fused depformer + mimi-decode: one device round-trip per frame
+        # instead of two (the host only intervenes between the temporal step
+        # and the depformer, where the DSM text machine rewrites the token).
+        # Invalid (pre-delay) frames freeze the decoder state via exec mask.
+        def depth_decode(lm_params, mimi_params, gstate, dec_state,
+                         text_token, h, replace, zero_mask, valid):
+            out, gstate = self.gen.depth_step(lm_params, gstate, text_token,
+                                              h, None, replace, zero_mask,
+                                              None)
+            codes = jnp.clip(out[:, 1:tts.n_q + 1], 0, None)
+            pcm, dec_state = tts.mimi.decode_step(mimi_params, dec_state,
+                                                  codes, exec_mask=valid)
+            return out, pcm, gstate, dec_state
+
+        self._depth_decode = jax.jit(depth_decode)
 
     def feed_words(self, words: list[str]):
+        """Queue text: normalized per rust tts_preprocess.rs (apostrophes,
+        dashes, colons, parens), with SSML `<break time="Ns"/>` turned into
+        padding entries."""
+        from ..text.tts_preprocess import (parse_segments, normalize,
+                                           BreakTime, MAX_BREAK_S)
         for w in words:
-            for word in w.split():
-                tokens = list(self.tts.tokenizer.encode(word))
-                self.state.entries.append(Entry(tokens=tokens, text=word))
+            for seg in parse_segments(w):
+                if isinstance(seg, BreakTime):
+                    if seg.seconds > 0:
+                        npad = max(int(min(seg.seconds, MAX_BREAK_S)
+                                       * self.tts.mimi.frame_rate), 1)
+                        self.state.entries.append(
+                            Entry(tokens=[], text="", padding=npad))
+                    continue
+                for word in normalize(seg).split():
+                    tokens = list(self.tts.tokenizer.encode(word))
+                    self.state.entries.append(Entry(tokens=tokens, text=word))
 
     def feed_eos(self):
         self.eos = True
@@ -94,16 +121,18 @@ class TTSStreamer:
 
         zero_mask = jnp.asarray(self.offset < self._gen_delays + tts.delay_steps)
         replace = self._no_dep if self.offset < tts.delay_steps else None
-        out, self.gstate = self._depth(
-            self.lm_params, self.gstate,
-            jnp.asarray(np.asarray([out_tok], np.int32)), h, None, replace,
-            zero_mask, None)
+        # valid once past both the acoustic max delay and the text-audio delay
+        valid = self.offset + 1 > max(self.gen.max_delay, tts.delay_steps)
+        out, pcm, self.gstate, self.dec_state = self._depth_decode(
+            self.lm_params, self.mimi_params, self.gstate, self.dec_state,
+            jnp.asarray(np.asarray([out_tok], np.int32)), h, replace,
+            zero_mask, jnp.asarray([valid]))
         self.offset += 1
-        out_np = np.asarray(out)
-        if (out_np == UNGENERATED_TOKEN).any() or self.offset <= tts.delay_steps:
+        if not valid:
             return None, events
-        codes = jnp.clip(out[:, 1:tts.n_q + 1], 0, None)
-        pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state, codes)
+        out_np = np.asarray(out)
+        if (out_np == UNGENERATED_TOKEN).any():
+            return None, events
         return np.clip(np.asarray(pcm)[0, 0], -1, 1), events
 
 

@@ -37,21 +37,39 @@ from .metrics import REGISTRY
 
 
 def _load_tokenizer(checkpoint_dir, info):
-    tok_path = Path(checkpoint_dir) / info.tokenizer_name
-    if tok_path.exists():
+    try:
+        tok_path = info.tokenizer_path
+    except AssertionError:
+        tok_path = Path(checkpoint_dir or ".") / info.tokenizer_name
+    if Path(tok_path).exists():
         from ..text.spm import SentencePieceTokenizer
         return SentencePieceTokenizer(tok_path)
     return None
 
 
 def build_module(name: str, mcfg: dict, seed: int):
-    """Returns (route, handler, startup_coro_factory | None, info_dict)."""
+    """Returns (route, handler, startup_coro_factory | None, info_dict).
+
+    Checkpoints resolve from a local `checkpoint_dir`, or from the hub via
+    `hf_repo = "kyutai/..."` (rust worker TOML `hf://` resolution,
+    main.rs:210-277); per-file `hf://repo/file` overrides are accepted in
+    `moshi_weights` / `mimi_weights` / `tokenizer_file`."""
     from ..models.loaders import CheckpointInfo
 
     mtype = mcfg["type"]
     route = mcfg["route"]
-    ckpt = mcfg["checkpoint_dir"]
-    info = CheckpointInfo.from_dir(ckpt)
+    ckpt = mcfg.get("checkpoint_dir")
+    if ckpt is not None:
+        info = CheckpointInfo.from_dir(ckpt)
+    elif "hf_repo" in mcfg:
+        info = CheckpointInfo.from_hf_repo(
+            mcfg["hf_repo"],
+            moshi_weights=mcfg.get("moshi_weights"),
+            mimi_weights=mcfg.get("mimi_weights"),
+            tokenizer=mcfg.get("tokenizer_file"),
+            revision=mcfg.get("revision"))
+    else:
+        raise ValueError(f"module {name}: set checkpoint_dir or hf_repo")
     rng = jax.random.PRNGKey(seed)
 
     if mtype == "moshi":

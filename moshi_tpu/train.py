@@ -32,6 +32,16 @@ def make_loss_fn(model: LMModel):
     return loss_fn
 
 
+def lora_optimizer(base: optax.GradientTransformation,
+                   params: dict) -> optax.GradientTransformation:
+    """Wrap an optimizer so only LoRA adapter leaves (a/b) receive updates
+    and optimizer state; every other leaf's update is zeroed (frozen)."""
+    from .models.lora import lora_labels
+    return optax.multi_transform(
+        {"adapter": base, "frozen": optax.set_to_zero()},
+        lora_labels(params))
+
+
 def make_train_step(model: LMModel, optimizer: optax.GradientTransformation):
     loss_fn = make_loss_fn(model)
 

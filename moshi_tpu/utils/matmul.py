@@ -38,8 +38,18 @@ def wdot(x, w):
     QTensor4 on TPU routes through the fused Pallas unpack-matmul
     (`ops/q4matmul.py`), keeping HBM weight traffic at 0.5 bytes/element;
     everywhere else the dequant `astype` is left to XLA (which fuses the
-    int8 convert into the dot but materializes the q4 unpack)."""
+    int8 convert into the dot but materializes the q4 unpack).
+
+    LoRAWeight leaves compute `wdot(x, stop_grad(base)) + (x@a)@b * scaling`
+    (reference lora.py:116-118 with frozen_W)."""
     from .quantize import QTensor4
+    from ..models.lora import LoRAWeight  # lazy: lora imports this module
+    if isinstance(w, LoRAWeight):
+        import jax
+        base = jax.tree.map(jax.lax.stop_gradient, w.base)
+        y = wdot(x, base)
+        delta = dot(dot(x, w.a.astype(x.dtype)), w.b.astype(x.dtype))
+        return y + (w.scaling * delta).astype(y.dtype)
     if isinstance(w, QTensor4):
         from ..ops.q4matmul import q4gemm, use_pallas
         din, dout = w.shape[-2:]

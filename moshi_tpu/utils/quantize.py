@@ -126,8 +126,11 @@ def unpack_nibbles(q: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def take0(w, indices):
-    """jnp.take along axis 0 for arrays or QTensors."""
+    """jnp.take along axis 0 for arrays or structured weight leaves
+    (QTensor, QTensor4, LoRAWeight — anything with a .take pytree method)."""
     if isinstance(w, (QTensor, QTensor4)):
+        return w.take(indices, axis=0)
+    if hasattr(w, "tree_flatten") and hasattr(w, "take"):
         return w.take(indices, axis=0)
     return jnp.take(w, indices, axis=0)
 
