@@ -66,8 +66,14 @@ class InferenceState:
         self._lm_step = jax.jit(self.lm_gen.step)
 
     def run(self, in_pcms: np.ndarray, eos_id: int = 2,
-            on_text=None) -> list[tuple[np.ndarray, np.ndarray]]:
-        """in_pcms: [B, 1, T] float32.  Returns per item (text_tokens, pcm)."""
+            on_text=None, gen_seconds: float = 0.0
+            ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """in_pcms: [B, 1, T] float32.  Returns per item (text_tokens, pcm).
+
+        gen_seconds > 0 keeps generating past the end of the input by feeding
+        silence frames for that long — the offline `gen` mode of the rust
+        moshi-cli (gen.rs:20-30 pads the input with trailing zeros for the
+        model to respond into)."""
         B = self.batch_size
         mimi = self.mimi
         if self.model_type == "stt":
@@ -76,6 +82,9 @@ class InferenceState:
             pad_right = int((stt.get("audio_delay_seconds", 0.0) + 1.0) * 24000)
             in_pcms = np.pad(in_pcms, ((0, 0), (0, 0), (pad_left, pad_right)))
 
+        if gen_seconds > 0:
+            pad = int(gen_seconds * mimi.sample_rate)
+            in_pcms = np.pad(in_pcms, ((0, 0), (0, 0), (0, pad)))
         fs = self.frame_size
         nchunks = in_pcms.shape[-1] // fs
         chunks = deque(in_pcms[:, :, i * fs:(i + 1) * fs] for i in range(nchunks))
@@ -158,6 +167,9 @@ def main():
                         help="Directory with config.json + safetensors weights.")
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--cfg-coef", type=float, default=1.0)
+    parser.add_argument("--gen-seconds", type=float, default=0.0,
+                        help="keep generating this long past the input "
+                             "(offline moshi-cli `gen` mode)")
     parser.add_argument("infile")
     parser.add_argument("outfile", nargs="?", default="")
     args = parser.parse_args()
@@ -181,7 +193,8 @@ def main():
     def on_text(t):
         print(tok.id_to_piece(t).replace("▁", " "), end="", flush=True)
 
-    outs = state.run(np.ascontiguousarray(in_pcms), on_text=on_text)
+    outs = state.run(np.ascontiguousarray(in_pcms), on_text=on_text,
+                     gen_seconds=args.gen_seconds)
     print()
     if args.outfile:
         out_path = Path(args.outfile)

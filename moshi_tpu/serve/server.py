@@ -139,6 +139,7 @@ class ServerState:
         all_pcm = np.zeros((0,), np.float32)
         skip_frames = 1
         paused = False
+        raw_pcm = False  # client opted into raw-f32 frames (web client)
         async for message in ws:
             if message.type in (WSMsgType.ERROR, WSMsgType.CLOSED):
                 break
@@ -146,6 +147,37 @@ class ServerState:
                 continue
             data = message.data
             kind = data[0]
+            if kind == proto.MT_IMAGE and raw_pcm:
+                # raw-PCM extension: MT 8 carries f32le 24 kHz mono frames in
+                # both directions once negotiated via metadata (the
+                # dependency-free web client path; MT 8 is a moshi-server
+                # extension slot, protocol.rs:17)
+                pcm = np.frombuffer(data[1:], np.float32)
+                if paused or pcm.size == 0:
+                    continue
+                all_pcm = np.concatenate([all_pcm, pcm])
+                while all_pcm.shape[-1] >= self.frame_size:
+                    chunk, all_pcm = (all_pcm[:self.frame_size],
+                                      all_pcm[self.frame_size:])
+                    if skip_frames:
+                        _ = self._encode(self.mimi_params, self.enc_state,
+                                         jnp.asarray(chunk)[None, None])
+                        self.reset_encoder()
+                        skip_frames -= 1
+                        continue
+                    out_pcm, text_token = self.step_frame(chunk)
+                    if out_pcm is None:
+                        continue
+                    await ws.send_bytes(
+                        proto.msg(proto.MT_IMAGE,
+                                  np.ascontiguousarray(out_pcm, np.float32)
+                                  .tobytes()))
+                    if text_token not in (0, 3) and self.text_tokenizer is not None:
+                        text = self.text_tokenizer.id_to_piece(text_token)
+                        await ws.send_bytes(proto.msg(
+                            proto.MT_TEXT,
+                            text.replace("▁", " ").encode("utf-8")))
+                continue
             if kind == proto.MT_CONTROL and len(data) >= 2:
                 ctrl = data[1]
                 log("info", f"control: {proto.CONTROL_NAMES.get(ctrl, ctrl)}")
@@ -172,6 +204,13 @@ class ServerState:
                     meta = json.loads(data[1:].decode("utf-8"))
                 except (UnicodeDecodeError, json.JSONDecodeError):
                     meta = None
+                if isinstance(meta, dict) and meta.get("raw_pcm"):
+                    raw_pcm = True
+                    await ws.send_bytes(proto.msg(
+                        proto.MT_METADATA,
+                        json.dumps({"raw_pcm": True,
+                                    "sample_rate": self.mimi.sample_rate,
+                                    "frame_size": self.frame_size}).encode()))
                 log("info", f"client metadata: {meta}")
                 continue
             if kind == proto.MT_ERROR:
@@ -231,6 +270,10 @@ def main():
     parser.add_argument("--log-dir", type=str, default=None,
                         help="save per-session token logs (safetensors)")
     parser.add_argument("--session-timeout", type=float, default=360.0)
+    parser.add_argument("--ssl", metavar="CERT_DIR", default=None,
+                        help="serve https/wss (self-signed cert generated "
+                             "in CERT_DIR if absent), like the reference "
+                             "server.py --ssl")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
@@ -265,8 +308,13 @@ def main():
         app.router.add_get("/", handle_root)
         app.router.add_static("/", path=args.static, follow_symlinks=True,
                               name="static")
-    log("info", f"serving at http://{args.host}:{args.port}")
-    web.run_app(app, host=args.host, port=args.port)
+    ssl_context = None
+    if args.ssl:
+        from .worker import make_ssl_context
+        ssl_context = make_ssl_context(args.ssl)
+    scheme = "https" if ssl_context else "http"
+    log("info", f"serving at {scheme}://{args.host}:{args.port}")
+    web.run_app(app, host=args.host, port=args.port, ssl_context=ssl_context)
 
 
 if __name__ == "__main__":

@@ -143,6 +143,28 @@ def build_module(name: str, mcfg: dict, seed: int):
     raise ValueError(f"unknown module type {mtype}")
 
 
+def make_ssl_context(cert_dir: str | Path):
+    """TLS termination in-process (reference: moshi-server rustls via
+    axum-server; moshi-backend generates self-signed certs with rcgen,
+    standalone mode).  Loads cert.pem/key.pem from `cert_dir`, generating a
+    self-signed pair on first use if absent."""
+    import ssl
+    cert_dir = Path(cert_dir)
+    cert_dir.mkdir(parents=True, exist_ok=True)
+    cert, key = cert_dir / "cert.pem", cert_dir / "key.pem"
+    if not cert.exists() or not key.exists():
+        import subprocess
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "365",
+             "-subj", "/CN=localhost"],
+            check=True, capture_output=True)
+        print(f"[info] generated self-signed TLS cert in {cert_dir}")
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    return ctx
+
+
 def main():
     from aiohttp import web
 
@@ -150,6 +172,9 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--host", default="localhost")
     parser.add_argument("--port", type=int, default=8998)
+    parser.add_argument("--ssl", metavar="CERT_DIR", default=None,
+                        help="serve https/wss; generates a self-signed cert "
+                             "in CERT_DIR if none present")
     args = parser.parse_args()
 
     cfg = tomllib.loads(Path(args.config).read_text())
@@ -210,7 +235,8 @@ def main():
         app["tasks"] = [await s() for s in startups]
 
     app.on_startup.append(on_startup)
-    web.run_app(app, host=args.host, port=args.port)
+    ssl_context = make_ssl_context(args.ssl) if args.ssl else None
+    web.run_app(app, host=args.host, port=args.port, ssl_context=ssl_context)
 
 
 if __name__ == "__main__":

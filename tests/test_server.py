@@ -293,3 +293,56 @@ def test_websocket_server_roundtrip(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_websocket_server_raw_pcm_extension(tiny_checkpoint):
+    """The web client's raw-PCM path: metadata {"raw_pcm": true} negotiation,
+    MT-8 f32 frames both ways, text on MT 2."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/api/chat")
+            assert await ws.receive_bytes() == b"\x00"
+            await ws.send_bytes(bytes([4]) + json.dumps(
+                {"raw_pcm": True}).encode())
+            meta = json.loads((await asyncio.wait_for(
+                ws.receive_bytes(), timeout=10))[1:])
+            assert meta == {"raw_pcm": True, "sample_rate": 24000,
+                            "frame_size": 1920}
+            rs = np.random.RandomState(0)
+            got_pcm = 0
+            for _ in range(10):
+                frame = (rs.randn(1920) * 0.05).astype(np.float32)
+                await ws.send_bytes(bytes([8]) + frame.tobytes())
+                while True:
+                    try:
+                        m = await asyncio.wait_for(ws.receive(), timeout=0.2)
+                    except asyncio.TimeoutError:
+                        break
+                    if m.type == aiohttp.WSMsgType.BINARY and m.data[0] == 8:
+                        assert len(m.data) == 1 + 1920 * 4
+                        got_pcm += 1
+            assert got_pcm > 0, "no raw pcm frames returned"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
