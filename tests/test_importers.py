@@ -240,3 +240,39 @@ def test_import_mimi_pytorch_roundtrip(tmp_path):
         codes_ref = rmimi.encode(torch.from_numpy(pcm)).numpy()
     codes = np.asarray(mimi.encode(params, jnp.asarray(pcm)))
     np.testing.assert_array_equal(codes, codes_ref)
+
+
+def test_export_torch_roundtrip(tmp_path):
+    """export_torch (ours -> torch names) round-trips through
+    lm_params_from_torch_state bit-exactly, including a gated cross-attn
+    model and a LoRA-adapted model (adapters fused on export)."""
+    import jax
+    import export_torch
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import lm_params_from_torch_state
+
+    cfg = tiny_lm_config(cross_attention=True,
+                         cross_attention_gating="conditional_gated_tanh",
+                         cross_attention_norm="rms_norm_f32")
+    model = LMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(3), dtype=jnp.float32)
+    state = export_torch.lm_params_to_torch_state(model, params)
+    state = {k: jnp.asarray(v) for k, v in state.items()}
+    back = lm_params_from_torch_state(model, state, dtype=jnp.float32)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6),
+        params, back)
+
+    # LoRA-adapted params export fused and load back as a dense model
+    from moshi_tpu.models.lora import replace_all_linear_with_lora
+    lp = replace_all_linear_with_lora(params, rank=2,
+                                      key=jax.random.PRNGKey(4),
+                                      dtype=jnp.float32)
+    state2 = export_torch.lm_params_to_torch_state(model, lp)
+    back2 = lm_params_from_torch_state(
+        model, {k: jnp.asarray(v) for k, v in state2.items()},
+        dtype=jnp.float32)
+    # zero-init B -> fused == base
+    np.testing.assert_allclose(
+        np.asarray(back2["text_linear"]["weight"]),
+        np.asarray(params["text_linear"]["weight"]), rtol=1e-5, atol=1e-6)
