@@ -61,6 +61,7 @@ class LmConfig:
     cross_attention_kv_dim: int | None = None
     shared_cross_attn: bool = False
     kv_cache_dtype: str = "model"  # model | int8 (TPU-native extension)
+    attention_int8_qk: bool = False  # int8 KV: native int8 QK^T scores
     delays: tuple[int, ...] = (0,) * 9
     existing_text_padding_id: int = 3
     existing_text_end_padding_id: int = 0
@@ -146,7 +147,8 @@ class LmConfig:
             cross_attention_norm=self.cross_attention_norm,
             cross_attention_kv_dim=self.cross_attention_kv_dim,
             shared_cross_attn=self.shared_cross_attn,
-            kv_cache_dtype=self.kv_cache_dtype)
+            kv_cache_dtype=self.kv_cache_dtype,
+            attention_int8_qk=self.attention_int8_qk)
 
     @property
     def depformer_config(self) -> TransformerConfig:

@@ -124,6 +124,12 @@ class TransformerConfig:
     # halving KV HBM footprint and attention bandwidth (a TPU-native
     # extension; the reference keeps KV in model dtype).
     kv_cache_dtype: str = "model"  # model | int8
+    # With int8 KV, also quantize the query per row and compute the QK^T
+    # scores as a native int8 x int8 MXU dot (int32 accumulate) instead of
+    # dequantizing K to bf16 — removes the convert from the score matmul's
+    # critical path.  PV keeps the bf16 convert (softmax weights quantize
+    # poorly).
+    attention_int8_qk: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -367,11 +373,22 @@ class StreamingTransformer:
                 k_scale = jnp.repeat(k_scale, c.kv_repeat, axis=2)
                 v_scale = jnp.repeat(v_scale, c.kv_repeat, axis=2)
         scale = 1.0 / math.sqrt(c.head_dim)
-        scores = einsum("bhtd,bshd->bhts", q, k.astype(compute),
-                        preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            # [B, S, H, 1] -> [B, H, 1, S]
+        if k_scale is not None and c.attention_int8_qk:
+            # native int8 x int8 MXU scores: quantize q per (b, h, t) row
+            qf = q.astype(jnp.float32)
+            qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+            q_scale = jnp.maximum(qa, 1e-6) / 127.0
+            qi = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+            scores = einsum("bhtd,bshd->bhts", qi, k,
+                            preferred_element_type=jnp.int32).astype(jnp.float32)
+            scores = scores * q_scale.astype(jnp.float32)
             scores = scores * k_scale.astype(jnp.float32).transpose(0, 2, 3, 1)
+        else:
+            scores = einsum("bhtd,bshd->bhts", q, k.astype(compute),
+                            preferred_element_type=jnp.float32)
+            if k_scale is not None:
+                # [B, S, H, 1] -> [B, H, 1, S]
+                scores = scores * k_scale.astype(jnp.float32).transpose(0, 2, 3, 1)
         scores = scores * scale
         if mask is not None:
             scores = jnp.where(mask, scores, -jnp.inf)

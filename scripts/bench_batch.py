@@ -32,7 +32,8 @@ def run_combo(batch: int, kv: str, context: int = 3000,
     from moshi_tpu.utils.quantize import quantize_lm_params
     from dataclasses import replace
 
-    config = replace(lm_config_v0_1(), kv_cache_dtype=kv, context=context)
+    config = replace(lm_config_v0_1(), kv_cache_dtype=kv.removesuffix("qk"),
+                     context=context, attention_int8_qk=kv.endswith("qk"))
     lm = LMModel(config)
     shapes = jax.eval_shape(
         lambda k: quantize_lm_params(lm.init_params(k, jnp.bfloat16), mode=weights),
