@@ -27,15 +27,22 @@ async def run(url: str, infile: str, outfile: str | None, rt_factor: float = 1.0
     pcm, _ = audio.read_wav(infile, sample_rate=sample_rate)
     pcm = pcm[0]
 
+    from .client_utils import make_printer
+
     writer = moshi_native.OpusStreamWriter(sample_rate)
     reader = moshi_native.OpusStreamReader(sample_rate)
     out_pcm: list[np.ndarray] = []
     text_parts: list[str] = []
+    printer = make_printer()
+    received_samples = 0
+    recv_start = None
 
     async with aiohttp.ClientSession() as session:
         async with session.ws_connect(url) as ws:
             handshake = await ws.receive_bytes()
             assert handshake[:1] == b"\x00", handshake
+            printer.log("info", f"connected to {url}")
+            printer.print_header()
 
             async def sender():
                 t0 = time.monotonic()
@@ -61,12 +68,25 @@ async def run(url: str, infile: str, outfile: str | None, rt_factor: float = 1.0
                                             np.float32)
                     if decoded.size:
                         out_pcm.append(decoded)
+                        # lag detection (client_utils.py:204-206): the
+                        # server's audio clock falls behind wall time
+                        if recv_start is None:
+                            recv_start = time.monotonic()
+                        received_samples += decoded.size
+                        behind = ((time.monotonic() - recv_start) * rt_factor
+                                  - received_samples / sample_rate)
+                        if behind > 2 * frame / sample_rate:
+                            printer.print_lag()
+                        elif hasattr(printer, "clear_lag"):
+                            printer.clear_lag()
                 elif kind == 2:
                     text = msg.data[1:].decode("utf-8", errors="replace")
                     text_parts.append(text)
-                    print(text, end="", flush=True)
+                    printer.print_token(text)
+                elif kind == 5:
+                    printer.log("error", msg.data[1:].decode("utf-8", "replace"))
             await send_task
-    print()
+    printer.close()
     if outfile and out_pcm:
         audio.write_wav(outfile, np.concatenate(out_pcm), sample_rate)
         print(f"wrote {outfile}")

@@ -143,3 +143,39 @@ def test_native_ckpt_mimi_roundtrip():
                                       np.asarray(mimi.encode(loaded, pcm)))
     finally:
         os.unlink(path)
+
+
+def test_printer_wrapping_and_lag():
+    """Boxed word-wrap printer (client_utils.py:127-216 behavior)."""
+    import io
+    from moshi_tpu.client_utils import Printer, RawPrinter, make_printer
+
+    buf = io.StringIO()
+    p = Printer(max_cols=12, stream=buf, err_stream=io.StringIO())
+    p.print_header()
+    for tok in [" hello", " world", " again", " and", " more"]:
+        p.print_token(tok)
+    p.print_lag()
+    p.print_lag()  # only one marker per episode
+    p.clear_lag()
+    p.print_lag()
+    p.close()
+    out = buf.getvalue()
+    lines = out.splitlines()
+    assert lines[0].strip().startswith("-")
+    body = [ln for ln in lines if ln.startswith("| ")]
+    assert all(ln.endswith(" |") for ln in body)
+    assert all(len(ln) <= 12 + 4 + 12 for ln in body)  # cols + borders + ansi
+    assert out.count("[LAG]") == 2
+    assert "\x1b[31m" in out  # red
+
+    # long unbroken token hard-splits
+    buf2 = io.StringIO()
+    p2 = Printer(max_cols=8, stream=buf2, err_stream=io.StringIO())
+    p2.print_header()
+    p2.print_token("abcdefghijklmnop")
+    p2.close()
+    assert "abcdefgh" in buf2.getvalue()
+
+    # non-tty -> RawPrinter
+    assert isinstance(make_printer(io.StringIO()), RawPrinter)
