@@ -276,3 +276,137 @@ def test_export_torch_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(back2["text_linear"]["weight"]),
         np.asarray(params["text_linear"]["weight"]), rtol=1e-5, atol=1e-6)
+
+
+def _mlx_quantize(w: np.ndarray, bits: int = 4, gs: int = 32):
+    """Reference mlx.nn affine quantization (per-row groups, little-endian
+    packing) in numpy, for synthesizing mlx-format checkpoints."""
+    out, din = w.shape
+    g = w.reshape(out, din // gs, gs)
+    wmin, wmax = g.min(-1, keepdims=True), g.max(-1, keepdims=True)
+    n = (1 << bits) - 1
+    scales = ((wmax - wmin) / n).astype(np.float32)
+    scales = np.where(scales == 0, 1e-8, scales)
+    biases = wmin.astype(np.float32)
+    codes = np.clip(np.round((g - biases) / scales), 0, n).astype(np.uint32)
+    codes = codes.reshape(out, din)
+    per_word = 32 // bits
+    codes = codes.reshape(out, din // per_word, per_word)
+    shifts = (np.arange(per_word, dtype=np.uint32) * bits)
+    packed = np.bitwise_or.reduce(codes << shifts[None, None, :], axis=-1)
+    return packed.astype(np.uint32), scales[..., 0], biases[..., 0]
+
+
+def test_import_mlx_dequantize_roundtrip():
+    import import_mlx
+    rs = np.random.RandomState(0)
+    for bits, gs in ((4, 32), (8, 64)):
+        w = rs.randn(16, 128).astype(np.float32)
+        wq, scales, biases = _mlx_quantize(w, bits, gs)
+        deq = import_mlx.dequantize_mlx(wq, scales, biases)
+        err = np.abs(deq - w).max()
+        step = (w.reshape(16, -1, gs).max(-1) - w.reshape(16, -1, gs).min(-1)).max() / ((1 << bits) - 1)
+        assert err <= step + 1e-5, (bits, err, step)
+
+
+def test_import_mlx_checkpoint(tmp_path):
+    """Synthesize an mlx-format (partially q4-quantized) checkpoint from the
+    tiny torch reference LM, import it, and compare forwards."""
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference, state_dict_to_numpy
+    import_reference()
+    import import_mlx
+    from safetensors.numpy import save_file
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import (CheckpointInfo,
+                                          lm_params_from_torch_state)
+
+    cfg = tiny_lm_config()
+    ref = _build_reference_lm(torch, cfg)
+    pth = {k: v.astype(np.float32) for k, v in state_dict_to_numpy(ref).items()}
+
+    # forward-map to mlx names (moshi_mlx lm.py:332-413)
+    mlx = {"out_norm.weight": pth["out_norm.alpha"][0, 0]}
+    for name in ("text_emb.weight", "text_linear.weight"):
+        mlx[name] = pth[name]
+    for k in range(cfg.n_q):
+        mlx[f"audio_embs.{k}.weight"] = pth[f"emb.{k}.weight"]
+    for k, v in pth.items():
+        if k.startswith("transformer"):
+            if k.endswith(".alpha"):
+                v = v[0, 0]
+            k = k.replace(".alpha", ".weight")
+            # torch tiny model stores split per-step projections; the LM main
+            # transformer has W=1 so in_projs.0 == fused in_proj
+            k = k.replace(".in_projs.0.weight", ".in_proj.weight")
+            k = k.replace(".out_projs.0.weight", ".out_proj.weight")
+            mlx[k] = v
+    for i in range(cfg.dep_q):
+        sp = f"depformer.slices.{i}"
+        mlx[f"{sp}.linear_in.weight"] = pth[f"depformer_in.{i}.weight"]
+        mlx[f"{sp}.linear_out.weight"] = pth[f"linears.{i}.weight"]
+        if i == 0:
+            mlx[f"{sp}.emb.weight"] = pth["depformer_text_emb.weight"]
+        else:
+            mlx[f"{sp}.emb.weight"] = pth[f"depformer_emb.{i - 1}.weight"]
+        for lay in range(cfg.depformer_num_layers):
+            p = f"{sp}.transformer.layers.{lay}"
+            mlx[f"{p}.norm1.weight"] = pth[f"depformer.layers.{lay}.norm1.alpha"][0, 0]
+            mlx[f"{p}.norm2.weight"] = pth[f"depformer.layers.{lay}.norm2.alpha"][0, 0]
+            mlx[f"{p}.gating.linear_in.weight"] = pth[
+                f"depformer.layers.{lay}.gating.{i}.linear_in.weight"]
+            mlx[f"{p}.gating.linear_out.weight"] = pth[
+                f"depformer.layers.{lay}.gating.{i}.linear_out.weight"]
+            mlx[f"{p}.self_attn.in_proj.weight"] = pth[
+                f"depformer.layers.{lay}.self_attn.in_projs.{i}.weight"]
+            mlx[f"{p}.self_attn.out_proj.weight"] = pth[
+                f"depformer.layers.{lay}.self_attn.out_projs.{i}.weight"]
+
+    # quantize text_linear like mlx q4 (others stay bf16-dense)
+    w = mlx.pop("text_linear.weight")
+    wq, scales, biases = _mlx_quantize(w, 4, 32)
+    mlx["text_linear.weight"] = wq
+    mlx["text_linear.scales"] = scales
+    mlx["text_linear.biases"] = biases
+
+    save_file({k: np.ascontiguousarray(v) for k, v in mlx.items()},
+              str(tmp_path / "mlx.safetensors"))
+    lm_cfg_json = {
+        "dim": cfg.dim, "num_heads": cfg.num_heads, "num_layers": cfg.num_layers,
+        "hidden_scale": cfg.hidden_scale, "n_q": cfg.n_q, "dep_q": cfg.dep_q,
+        "card": cfg.card, "text_card": cfg.text_card, "norm": cfg.norm,
+        "context": cfg.context, "max_period": cfg.max_period,
+        "gating": cfg.gating, "positional_embedding": cfg.positional_embedding,
+        "depformer_dim": cfg.depformer_dim,
+        "depformer_num_heads": cfg.depformer_num_heads,
+        "depformer_num_layers": cfg.depformer_num_layers,
+        "depformer_dim_feedforward": cfg.depformer_dim_feedforward,
+        "depformer_gating": cfg.depformer_gating,
+        "depformer_pos_emb": cfg.depformer_pos_emb,
+        "depformer_multi_linear": True, "depformer_weights_per_step": True,
+        "causal": True, "delays": list(cfg.delays),
+    }
+    out = import_mlx.import_model(tmp_path / "mlx.safetensors",
+                                  tmp_path / "imported", lm_cfg_json)
+    info = CheckpointInfo.from_dir(out)
+    lm, params = info.get_moshi(dtype=jnp.float32)
+
+    direct = LMModel(cfg)
+    state = {k: jnp.asarray(v) for k, v in pth.items()}
+    dparams = lm_params_from_torch_state(direct, state, dtype=jnp.float32)
+
+    rs = np.random.RandomState(0)
+    codes = rs.randint(0, cfg.card, (1, cfg.num_codebooks, 5)).astype(np.int32)
+    codes[:, 0] = rs.randint(0, cfg.text_card, (1, 5))
+    out_a = lm.forward(params, jnp.asarray(codes))
+    out_b = direct.forward(dparams, jnp.asarray(codes))
+    la = np.asarray(out_a["mask"])
+    # audio logits don't involve the quantized text_linear: exact
+    np.testing.assert_allclose(np.asarray(out_a["logits"])[la],
+                               np.asarray(out_b["logits"])[la],
+                               rtol=1e-5, atol=1e-5)
+    # text logits only differ by the q4 error of text_linear
+    mt = np.asarray(out_a["text_mask"])
+    a = np.asarray(out_a["text_logits"])[mt]
+    b = np.asarray(out_b["text_logits"])[mt]
+    assert np.abs(a - b).max() / (np.abs(b).max() + 1e-9) < 0.1
