@@ -15,6 +15,9 @@ MT_PING = 6         # no payload
 MT_COLOREDTEXT = 7  # server->client only
 MT_IMAGE = 8        # moshi-server extension
 MT_CODES = 9        # moshi-server extension (raw mimi codes)
+MT_PCM = 10         # moshi_tpu extension: raw f32le 24 kHz mono frames, both
+                    # directions, negotiated via metadata {"raw_pcm": true}
+                    # (unknown types are discarded by reference peers)
 
 CTRL_START = 0
 CTRL_END_TURN = 1

@@ -147,11 +147,12 @@ class ServerState:
                 continue
             data = message.data
             kind = data[0]
-            if kind == proto.MT_IMAGE and raw_pcm:
-                # raw-PCM extension: MT 8 carries f32le 24 kHz mono frames in
+            if kind == proto.MT_PCM and raw_pcm:
+                # raw-PCM extension: MT 10 carries f32le 24 kHz mono frames in
                 # both directions once negotiated via metadata (the
-                # dependency-free web client path; MT 8 is a moshi-server
-                # extension slot, protocol.rs:17)
+                # dependency-free web client path; 10 is unassigned in the
+                # reference protocol, protocol.rs:7-53, so reference peers
+                # simply discard it)
                 pcm = np.frombuffer(data[1:], np.float32)
                 if paused or pcm.size == 0:
                     continue
@@ -169,7 +170,7 @@ class ServerState:
                     if out_pcm is None:
                         continue
                     await ws.send_bytes(
-                        proto.msg(proto.MT_IMAGE,
+                        proto.msg(proto.MT_PCM,
                                   np.ascontiguousarray(out_pcm, np.float32)
                                   .tobytes()))
                     if text_token not in (0, 3) and self.text_tokenizer is not None:

@@ -22,6 +22,14 @@ Config example (TOML):
     checkpoint_dir = "/ckpt/stt"
     batch_size = 8
 
+    [modules.custom]                  # user-extensible module: the analog of
+    type = "py"                       # moshi-server's pyo3-embedded py_module
+    route = "/api/custom"             # (py_module.rs:399-441) — the script's
+    script = "plugins/my_module.py"   # init(batch_size, config) returns an
+    batch_size = 8                    # app exposing `async handle(request)`
+    [modules.custom.config]           # arbitrary table forwarded to init()
+    greeting = "hi"
+
 Usage: python -m moshi_tpu.serve.worker --config config.toml [--port 8998]
 """
 
@@ -47,6 +55,55 @@ def _load_tokenizer(checkpoint_dir, info):
     return None
 
 
+def _build_py_module(name: str, mcfg: dict):
+    """User-extensible module, the Python-native analog of moshi-server's
+    pyo3-embedded `py_module` / `py_module_post` (py_module.rs:399-441,
+    main.rs:188-196 Py/PyPost).  The reference embeds Python in the Rust
+    server to run a user script's batched step loop; this worker IS Python,
+    so the script plugs in directly.
+
+    The script must define `init(batch_size, config) -> app`, where `app`
+    exposes:
+      - `async handle(request)`         (type="py": mounted on GET, usually
+                                         a websocket handler)
+      - `async handle_post(request)`    (type="py_post": mounted on POST,
+                                         like the reference's TTS POST API)
+      - optionally `warmup()`           called once at build time
+      - optionally `async run_loop()`   scheduled as a background task at
+                                        startup (the reference's model loop,
+                                        py_module.rs:265-283)
+    """
+    import importlib.util
+
+    mtype = mcfg["type"]
+    route = mcfg["route"]
+    script = Path(mcfg["script"])
+    spec = importlib.util.spec_from_file_location(
+        f"moshi_tpu_py_module_{name}", script)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"module {name}: cannot load script {script}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not hasattr(mod, "init"):
+        raise ValueError(f"module {name}: {script} defines no init()")
+    app = mod.init(mcfg.get("batch_size", 1), dict(mcfg.get("config", {})))
+    if hasattr(app, "warmup"):
+        app.warmup()
+
+    startup = None
+    if hasattr(app, "run_loop"):
+        async def startup():
+            return asyncio.create_task(app.run_loop())
+
+    handler_name = "handle_post" if mtype == "py_post" else "handle"
+    if not hasattr(app, handler_name):
+        raise ValueError(f"module {name}: init() result has no {handler_name}")
+    handler = getattr(app, handler_name)
+    return route, handler, startup, \
+        {"type": mtype, "script": str(script),
+         "batch_size": mcfg.get("batch_size", 1)}
+
+
 def build_module(name: str, mcfg: dict, seed: int):
     """Returns (route, handler, startup_coro_factory | None, info_dict).
 
@@ -58,6 +115,8 @@ def build_module(name: str, mcfg: dict, seed: int):
 
     mtype = mcfg["type"]
     route = mcfg["route"]
+    if mtype in ("py", "py_post"):
+        return _build_py_module(name, mcfg)
     ckpt = mcfg.get("checkpoint_dir")
     if ckpt is not None:
         info = CheckpointInfo.from_dir(ckpt)
@@ -194,7 +253,10 @@ def main():
     startups = []
     for i, (name, mcfg) in enumerate(cfg.get("modules", {}).items()):
         route, handler, startup, minfo = build_module(name, mcfg, seed=i)
-        app.router.add_get(route, handler)
+        if minfo["type"] == "py_post":
+            app.router.add_post(route, handler)
+        else:
+            app.router.add_get(route, handler)
         modules_info[name] = {**minfo, "route": route}
         if startup is not None:
             startups.append(startup)

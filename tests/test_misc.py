@@ -179,3 +179,23 @@ def test_printer_wrapping_and_lag():
 
     # non-tty -> RawPrinter
     assert isinstance(make_printer(io.StringIO()), RawPrinter)
+
+
+def test_client_gradio_import_gated():
+    """client_gradio imports without the optional gradio extras and fails
+    with a clear ImportError only at main() (reference client_gradio.py
+    raises at import time; ours stays importable for inventory/CI)."""
+    import sys
+    import moshi_tpu.client_gradio as cg
+
+    if cg._IMPORT_ERROR is None:
+        import pytest
+        pytest.skip("gradio extras installed; gating not exercised")
+    argv = sys.argv
+    sys.argv = ["client_gradio", "--url", "http://localhost:8998"]
+    try:
+        import pytest
+        with pytest.raises(ImportError, match="gradio"):
+            cg.main()
+    finally:
+        sys.argv = argv

@@ -297,7 +297,7 @@ def test_websocket_server_roundtrip(tiny_checkpoint):
 
 def test_websocket_server_raw_pcm_extension(tiny_checkpoint):
     """The web client's raw-PCM path: metadata {"raw_pcm": true} negotiation,
-    MT-8 f32 frames both ways, text on MT 2."""
+    MT-10 f32 frames both ways, text on MT 2."""
     aiohttp = pytest.importorskip("aiohttp")
     import asyncio
     import jax.numpy as jnp
@@ -331,13 +331,13 @@ def test_websocket_server_raw_pcm_extension(tiny_checkpoint):
             got_pcm = 0
             for _ in range(10):
                 frame = (rs.randn(1920) * 0.05).astype(np.float32)
-                await ws.send_bytes(bytes([8]) + frame.tobytes())
+                await ws.send_bytes(bytes([10]) + frame.tobytes())
                 while True:
                     try:
                         m = await asyncio.wait_for(ws.receive(), timeout=0.2)
                     except asyncio.TimeoutError:
                         break
-                    if m.type == aiohttp.WSMsgType.BINARY and m.data[0] == 8:
+                    if m.type == aiohttp.WSMsgType.BINARY and m.data[0] == 10:
                         assert len(m.data) == 1 + 1920 * 4
                         got_pcm += 1
             assert got_pcm > 0, "no raw pcm frames returned"

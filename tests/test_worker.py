@@ -73,3 +73,104 @@ def test_mimi_ws_module_roundtrip(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_py_module_plugin(tmp_path):
+    """User-extensible `py` / `py_post` modules (the analog of moshi-server's
+    pyo3 py_module, py_module.rs:399-441): a user script's init() builds an
+    app whose handlers are mounted on the configured route, with config
+    pass-through, optional warmup and background run_loop."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import tomllib
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.serve.worker import build_module
+
+    script = tmp_path / "plugin.py"
+    script.write_text(
+        """
+import asyncio
+import json
+from aiohttp import web
+
+class App:
+    def __init__(self, batch_size, config):
+        self.batch_size = batch_size
+        self.config = config
+        self.warmed = False
+        self.loop_ticks = 0
+
+    def warmup(self):
+        self.warmed = True
+
+    async def run_loop(self):
+        while True:
+            self.loop_ticks += 1
+            await asyncio.sleep(0.01)
+
+    async def handle(self, request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        await ws.send_json({"greeting": self.config["greeting"],
+                            "batch_size": self.batch_size,
+                            "warmed": self.warmed})
+        await ws.close()
+        return ws
+
+    async def handle_post(self, request):
+        body = await request.json()
+        return web.json_response({"echo": body, "ticks": self.loop_ticks})
+
+def init(batch_size, config):
+    return App(batch_size, config)
+"""
+    )
+    toml = f"""
+[modules.custom]
+type = "py"
+route = "/api/custom"
+script = "{script}"
+batch_size = 4
+[modules.custom.config]
+greeting = "hi"
+
+[modules.custom_post]
+type = "py_post"
+route = "/api/custom-post"
+script = "{script}"
+"""
+    cfg = tomllib.loads(toml)
+    built = {name: build_module(name, mcfg, seed=i)
+             for i, (name, mcfg) in enumerate(cfg["modules"].items())}
+    route, handler, startup, minfo = built["custom"]
+    assert route == "/api/custom" and minfo["type"] == "py"
+    proute, phandler, pstartup, pminfo = built["custom_post"]
+    assert pminfo["type"] == "py_post"
+
+    async def run():
+        app = web.Application()
+        app.router.add_get(route, handler)
+        app.router.add_post(proute, phandler)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        task = await startup() if startup is not None else None
+        ptask = await pstartup() if pstartup is not None else None
+        try:
+            ws = await client.ws_connect("/api/custom")
+            msg = await ws.receive_json()
+            assert msg == {"greeting": "hi", "batch_size": 4, "warmed": True}
+            await ws.close()
+            resp = await client.post("/api/custom-post", json={"x": 1})
+            body = await resp.json()
+            assert body["echo"] == {"x": 1}
+            await asyncio.sleep(0.05)
+            resp = await client.post("/api/custom-post", json={"x": 2})
+            body = await resp.json()
+            assert body["ticks"] > 0, "run_loop was not scheduled"
+        finally:
+            for t in (task, ptask):
+                if t is not None:
+                    t.cancel()
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
