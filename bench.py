@@ -84,7 +84,12 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
     enc_state = mimi.init_encode_state(B)
     dec_state = mimi.init_decode_state(B)
 
-    @jax.jit
+    # donate the streaming states: without donation XLA must copy the ring
+    # KV cache every step instead of scattering in place (~4 ms/frame at
+    # B=1 ctx 3000, and an OOM at batch — see BENCH_BATCH.md)
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
     def frame(lm_params, mimi_params, lm_state, enc_state, dec_state, pcm):
         codes, enc_state = mimi.encode_step(mimi_params, enc_state, pcm)
         kin = codes[:, :n_in] if codes.shape[1] >= n_in else jnp.tile(codes, (1, n_in, 1))
@@ -117,7 +122,10 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
 
 
 def main():
-    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_7b_int8"
+    # q4 (int4-bitcast Pallas kernel, depformer int8) is the fastest B=1
+    # config: 19.7 ms/frame vs 21.0 for int8 (BENCH_BATCH.md), at 4 GB
+    # weights; the reference's own MLX stack serves q4 as a first-class mode.
+    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_7b_int4"
     try:
         result = bench_full_duplex(lm_name)
     except Exception as e:  # noqa: BLE001 — fall back to a smaller model on OOM

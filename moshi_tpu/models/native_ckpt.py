@@ -65,7 +65,12 @@ def load_params(path: str | Path) -> dict:
         _insert(root, key.split("/"), value)
     for base, parts in qts.items():
         if "q4" in parts:
-            leaf = QTensor4(parts["q4"], parts["scale4"])
+            if parts["q4"].ndim == parts["scale4"].ndim:
+                # legacy two-plane packing (pre sequential-pair format)
+                from ..utils.quantize import repack_legacy_q4
+                leaf = repack_legacy_q4(parts["q4"], parts["scale4"])
+            else:
+                leaf = QTensor4(parts["q4"], parts["scale4"])
         else:
             leaf = QTensor(parts["q"], parts["scale"])
         _insert(root, base.split("/"), leaf)

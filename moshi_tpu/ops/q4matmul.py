@@ -1,19 +1,37 @@
 """Pallas TPU kernel: fused 4-bit-weight unpack + dequant + matmul.
 
 QTensor4 stores MLX-q4/gguf-style group-wise 4-bit weights nibble-packed in
-int8 (`utils/quantize.py`) with TWO-PLANE packing: the byte at logical din
-position i (i < din/2) holds position i in the low nibble and position
-i + din/2 in the high nibble.
+int8 (`utils/quantize.py`) with SEQUENTIAL-PAIR packing: the byte at packed
+row i holds logical din position 2i in the low nibble and 2i+1 in the high
+nibble.  This matches Mosaic's native int4 layout: `pltpu.bitcast(int8_block,
+jnp.int4)` doubles the sublane dim interleaved (out row 2r = low nibble of
+row r, 2r+1 = high nibble, signed), so the packed block reinterprets as the
+weight block with ZERO unpack arithmetic.
 
-XLA's lowering of the unpack (`QTensor4.astype`) materializes the bf16
-weights in HBM every step (~170 ms/frame on the 7B — unusable).  This kernel
-streams the *packed* tiles HBM->VMEM (0.5 bytes/element — half the int8
-path's traffic, a quarter of bf16), sign-extends each plane with pure
-elementwise ops (no interleave/stack relayouts — that is what the two-plane
-packing buys), applies the group scales in registers, and runs one MXU dot
-per plane:
+The remaining VPU work is one int4->bf16 convert per element plus the group
+scales.  A naive per-element scale multiply dominates (measured v5e, 7B
+shapes at B=8, sustained chained passes, bytes-of-packed-weights bandwidth):
 
-y[B, dout] = x[:, :din/2] @ deq(low) + x[:, din/2:] @ deq(high)
+  two-plane packing + mask/xor/sub unpack (old kernel)   14.7 ms  280 GB/s
+  + shift-based sign extension                           13.0 ms  316 GB/s
+  int4 bitcast + per-element scale mul                   12.5 ms  328 GB/s
+  int4 bitcast + bf16 convert + group post-dot scaling    9.6 ms  430 GB/s
+  int4 straight into per-group dots + post-dot scaling    8.9 ms  460 GB/s  <- this file
+  int4 bitcast + one dot, scales skipped (floor)          8.3 ms  498 GB/s
+  int8 bytes straight into the dot (hw ceiling probe)     7.5 ms  551 GB/s
+
+Per-group post-dot scaling: y += (x_g @ w4_g) * s[g, :] feeds the int4
+slices directly to the MXU (Mosaic mixed-type dot — no convert on the VPU)
+and runs the scale multiply on [B, block_out] per group instead of on every
+weight element — B/group_size (= 1/4 at B=8) VPU ops per element instead
+of 1.  XLA's lowering of the full unpack (`QTensor4.astype`) materializes
+the bf16 weights in HBM every step (~170 ms/frame on the 7B — unusable).
+Context: XLA's int8 dequant path reaches ~907 GB/s effective at B>=8 (MXU
+native int8), so group-wise q4 does not beat int8 on step time at batch —
+its wins are memory (4 GB vs 7.2 GB -> bigger batch/context) and B=1
+latency parity (21.4 vs 21.0 ms/frame whole-model).
+
+Reference capability parity: MLX q4 gs=32 serving (moshi_mlx local.py:101-103).
 """
 
 import functools
@@ -24,28 +42,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *,
-            gs):
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs):
     j = pl.program_id(1)  # din tile index (innermost)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x32 = q_ref[:].astype(jnp.int32)        # [gin, gs, bo]
-    low = jnp.bitwise_xor(jnp.bitwise_and(x32, 0xF), 8) - 8
-    high = jnp.bitwise_xor(jnp.bitwise_and(jnp.right_shift(x32, 4), 0xF), 8) - 8
-    gin, _, bo = q_ref.shape
-    w_lo = (low.astype(jnp.bfloat16)
-            * s_lo_ref[:].astype(jnp.bfloat16)).reshape(gin * gs, bo)
-    w_hi = (high.astype(jnp.bfloat16)
-            * s_hi_ref[:].astype(jnp.bfloat16)).reshape(gin * gs, bo)
-    acc_ref[:] += jax.lax.dot_general(
-        x_lo_ref[:], w_lo, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_ref[:] += jax.lax.dot_general(
-        x_hi_ref[:], w_hi, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    half, bo = q_ref.shape
+    # reinterpret the packed bytes as int4: [half, bo] int8 -> [2*half, bo]
+    # int4 with rows interleaved exactly in logical din order (sequential-pair
+    # packing); the slices feed the MXU directly, no VPU convert.
+    w = pltpu.bitcast(q_ref[:], jnp.int4)
+    # per-group dots with post-dot scaling: the [B, bo] rescale costs
+    # B/gs VPU ops per weight element vs 1 for scaling w itself.
+    for g in range(2 * half // gs):
+        p = jax.lax.dot_general(
+            x_ref[:, g * gs:(g + 1) * gs], w[g * gs:(g + 1) * gs, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] += p * s_ref[g, 0, :][None, :]
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -56,40 +72,37 @@ def _kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *,
 def q4gemm(x: jax.Array, q: jax.Array, scale: jax.Array, *,
            block_out: int = 1024, block_in: int = 1024,
            interpret: bool = False) -> jax.Array:
-    """x: [B, din]; q: [din/(2*gs), gs, dout] int8 two-plane nibbles; scale:
+    """x: [B, din]; q: [din/2, dout] int8 sequential-pair nibbles; scale:
     [din/gs, 1, dout] -> [B, dout] in x.dtype.
 
-    block_in counts *per-plane* din positions (so one grid step covers
-    2*block_in logical din positions).
+    block_in counts logical din positions (one grid step reads block_in/2
+    packed rows).
     """
     B, din = x.shape
-    P, gs, dout = q.shape
-    assert 2 * P * gs == din, (P, gs, din)
-    half = din // 2
-    block_in = min(block_in, half)
+    P2, dout = q.shape
+    assert 2 * P2 == din, (P2, din)
+    G = scale.shape[0]
+    gs = din // G
+    block_in = min(block_in, din)
     block_out = min(block_out, dout)
-    assert half % block_in == 0 and block_in % gs == 0, (half, block_in, gs)
+    assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
+    assert block_in % 2 == 0, block_in
     assert dout % block_out == 0, (dout, block_out)
     gin = block_in // gs
-    G = scale.shape[0]
-    grid = (dout // block_out, half // block_in)
+    grid = (dout // block_out, din // block_in)
     return pl.pallas_call(
         functools.partial(_kernel, gs=gs),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, block_in), lambda i, j: (0, j)),            # x low
-            pl.BlockSpec((B, block_in), lambda i, j, _h=half // block_in:
-                         (0, j + _h)),                                   # x high
-            pl.BlockSpec((gin, gs, block_out), lambda i, j: (j, 0, i)),  # q
-            pl.BlockSpec((gin, 1, block_out), lambda i, j: (j, 0, i)),   # s low
-            pl.BlockSpec((gin, 1, block_out), lambda i, j, _g=G // 2 // gin:
-                         (j + _g, 0, i)),                                # s high
+            pl.BlockSpec((B, block_in), lambda i, j: (0, j)),            # x
+            pl.BlockSpec((block_in // 2, block_out), lambda i, j: (j, i)),  # q
+            pl.BlockSpec((gin, 1, block_out), lambda i, j: (j, 0, i)),   # s
         ],
         out_specs=pl.BlockSpec((B, block_out), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((B, dout), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, block_out), jnp.float32)],
         interpret=interpret,
-    )(x, x, q, scale, scale)
+    )(x, q, scale)
 
 
 def use_pallas() -> bool:

@@ -56,9 +56,12 @@ class ServerState:
         self.session_timeout = session_timeout
         self.session_tokens: list = []
 
-        self._encode = jax.jit(self.mimi.encode_step)
-        self._decode = jax.jit(self.mimi.decode_step)
-        self._step = jax.jit(self.lm_gen.step)
+        # donate the streaming state (arg 1): without donation XLA copies the
+        # ring KV cache every step instead of scattering in place (~4 ms/frame
+        # on the 7B at ctx 3000).  Callers always rebind the returned state.
+        self._encode = jax.jit(self.mimi.encode_step, donate_argnums=1)
+        self._decode = jax.jit(self.mimi.decode_step, donate_argnums=1)
+        self._step = jax.jit(self.lm_gen.step, donate_argnums=1)
         self.reset()
 
     def reset(self):

@@ -53,11 +53,11 @@ def wdot(x, w):
     if isinstance(w, QTensor4):
         from ..ops.q4matmul import q4gemm, use_pallas
         din, dout = w.shape[-2:]
-        if use_pallas() and w.q.ndim == 3:
+        if use_pallas() and w.q.ndim == 2:
             import math as _math
-            gs = w.q.shape[-2]
+            gs = din // w.scale.shape[-3]
             # block_in must be a lane-aligned (128) multiple of the group size
-            bi = _largest_block(din // 2, _math.lcm(gs, 128), 1024)
+            bi = _largest_block(din, _math.lcm(gs, 128), 1024)
             bo = _largest_block(dout, 128, 1024)
             if bi is not None and bo is not None:
                 lead = x.shape[:-1]

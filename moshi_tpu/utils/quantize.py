@@ -10,10 +10,11 @@ time vs bf16.  Linears only (embeddings and norms stay in bf16/f32), like
 the reference's `replace_linear_with_qlinear`.
 
 int4 (`mode="int4"`, `QTensor4`): MLX-q4/gguf-style group-wise 4-bit with
-nibble packing.  Quarter-size weights (7B ~3.8 GB) but the in-graph unpack
-does not fuse on current XLA (measured ~170 ms/frame on the 7B vs 20 ms for
-int8) — use it only when memory-bound; a Pallas unpack-fused matmul is the
-future fix.
+nibble packing.  Quarter-size weights (7B ~3.8 GB); on TPU the fused Pallas
+kernel (`ops/q4matmul.py`, int4-bitcast + per-group post-dot scaling) makes
+q4 the FASTEST weight format too (~430 GB/s effective vs ~580 GB/s on twice
+the bytes for XLA's int8 dequant path).  The XLA fallback (`astype`)
+materializes the unpack and is only for CPU/tests.
 """
 
 from dataclasses import dataclass
@@ -65,17 +66,16 @@ class QTensor:
 class QTensor4:
     """Group-wise 4-bit weight (analog of MLX q4 gs=32 / gguf q4), nibble-
     packed into int8 (two values per byte — native int4 arrays cannot cross
-    the jit boundary on every backend).
+    the jit boundary on every backend, and not the axon transfer layer).
 
-    Two-plane packing: the byte at logical din position i (i < din/2) holds
-    position i in the LOW nibble and position i + din/2 in the HIGH nibble.
-    This lets a fused kernel unpack each plane with pure elementwise ops and
-    run two plane-matmuls — no interleave/stack relayouts on the TPU VPU
-    (`ops/q4matmul.py`).
+    Sequential-pair packing: the byte at packed row i holds logical din
+    position 2i in the LOW nibble and 2i+1 in the HIGH nibble.  This matches
+    Mosaic's native int4 sublane interleave, so the fused kernel
+    (`ops/q4matmul.py`) reinterprets a packed block as the int4 weight block
+    with a single `pltpu.bitcast` — zero unpack arithmetic on the VPU.
 
-    q: int8 [..., in/(2*gs), gs, out]; scale: f32 [..., in/gs, 1, out]
-    (group g of the scale covers din positions [g*gs, (g+1)*gs); the low
-    plane uses groups [0, G/2), the high plane [G/2, G)).  Logical shape is
+    q: int8 [..., in/2, out]; scale: f32 [..., in/gs, 1, out] (group g of the
+    scale covers din positions [g*gs, (g+1)*gs)).  Logical shape is
     [..., in, out].
     """
 
@@ -91,12 +91,12 @@ class QTensor4:
 
     @property
     def shape(self):
-        *lead, p, gs, dout = self.q.shape
-        return tuple(lead) + (p * gs * 2, dout)
+        *lead, p2, dout = self.q.shape
+        return tuple(lead) + (p2 * 2, dout)
 
     @property
     def ndim(self):
-        return self.q.ndim - 1
+        return self.q.ndim
 
     def __getitem__(self, idx):
         return QTensor4(self.q[idx], self.scale[idx])
@@ -107,13 +107,31 @@ class QTensor4:
 
     def astype(self, dtype):
         low, high = unpack_nibbles(self.q)
-        *lead, p, gs, dout = self.q.shape
+        *lead, p2, dout = self.q.shape
+        # interleave: logical row 2i = low nibble of packed row i, 2i+1 = high
+        w = jnp.stack([low, high], axis=-2).reshape(*lead, p2 * 2, dout)
         G = self.scale.shape[-3]
-        s_lo = self.scale[..., : G // 2, :, :].astype(dtype)
-        s_hi = self.scale[..., G // 2:, :, :].astype(dtype)
-        lo = (low.astype(dtype) * s_lo).reshape(*lead, p * gs, dout)
-        hi = (high.astype(dtype) * s_hi).reshape(*lead, p * gs, dout)
-        return jnp.concatenate([lo, hi], axis=-2)
+        w = w.reshape(*lead, G, 2 * p2 // G, dout).astype(dtype)
+        w = w * self.scale.astype(dtype)
+        return w.reshape(*lead, p2 * 2, dout)
+
+
+def repack_legacy_q4(q: jax.Array, scale: jax.Array) -> QTensor4:
+    """Convert a round-2 two-plane packed q4 leaf (q [..., in/(2*gs), gs,
+    out], where packed byte i held logical position i low / i + din/2 high)
+    to the sequential-pair format.  Detection: legacy q has one more axis
+    than the logical tensor (q.ndim == scale.ndim), the new format one less.
+    """
+    low, high = unpack_nibbles(q)
+    *lead, p, gs, dout = q.shape
+    w = jnp.concatenate([low.reshape(*lead, p * gs, dout),
+                         high.reshape(*lead, p * gs, dout)], axis=-2)
+    pairs = w.reshape(*lead, p * gs, 2, dout)
+    even, odd = pairs[..., 0, :], pairs[..., 1, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(even, 0x0F),
+                            jnp.left_shift(jnp.bitwise_and(odd, 0x0F), 4)
+                            ).astype(jnp.int8)
+    return QTensor4(packed, scale)
 
 
 def unpack_nibbles(q: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -150,11 +168,10 @@ def quantize_tensor4(w: jax.Array, group_size: int = 32) -> QTensor4:
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
-    # two-plane packing: position i (low nibble) with i + din/2 (high nibble)
-    G = din // group_size
-    q = q.reshape(*lead, G, group_size, dout)
-    low = q[..., : G // 2, :, :]
-    high = q[..., G // 2:, :, :]
+    # sequential-pair packing: packed row i = (pos 2i low nibble, 2i+1 high)
+    q = q.reshape(*lead, din // 2, 2, dout)
+    low = q[..., 0, :]
+    high = q[..., 1, :]
     packed = jnp.bitwise_or(jnp.bitwise_and(low, 0x0F),
                             jnp.left_shift(jnp.bitwise_and(high, 0x0F), 4)
                             ).astype(jnp.int8)
@@ -194,7 +211,16 @@ def quantize_lm_params(params: dict, min_size: int = 1 << 16,
                           "input_proj"))
                      or grandparent == "output_projs")
         if is_linear:
-            if mode == "int4" and x.shape[-2] % (2 * group_size) == 0:
+            # Mixed precision in int4 mode: the depformer runs 8 sequential
+            # inner steps of tiny matmuls per frame (latency-bound, ~6% of
+            # weight bytes) where the q4 kernel's per-call overhead exceeds
+            # its bandwidth saving (measured v5e, B=8: dep q4 cost ~+6 ms
+            # vs int8) — keep it int8; the bandwidth-bound temporal
+            # transformer and vocab head get q4.
+            is_depformer = any(part.startswith("depformer") for part in path) \
+                or "linears" in path
+            if (mode == "int4" and not is_depformer
+                    and x.shape[-2] % (2 * group_size) == 0):
                 return quantize_tensor4(x, group_size)
             return quantize_tensor(x)
         return x
