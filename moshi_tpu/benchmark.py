@@ -33,9 +33,9 @@ def bench_paced(lm_name: str, steps: int, out_path: str | None,
     fs = mimi.frame_size
     frame_interval = fs / mimi.sample_rate  # 0.080 s
 
-    enc = jax.jit(mimi.encode_step)
-    dec = jax.jit(mimi.decode_step)
-    step = jax.jit(gen.step)
+    enc = jax.jit(mimi.encode_step, donate_argnums=1)
+    dec = jax.jit(mimi.decode_step, donate_argnums=1)
+    step = jax.jit(gen.step, donate_argnums=1)
 
     enc_state = mimi.init_encode_state(1)
     dec_state = mimi.init_decode_state(1)
@@ -190,8 +190,8 @@ def bench_mimi_only(steps: int = 100) -> dict:
     from bench import build_mimi
     mimi, mimi_params = build_mimi(8)
     fs = mimi.frame_size
-    enc = jax.jit(mimi.encode_step)
-    dec = jax.jit(mimi.decode_step)
+    enc = jax.jit(mimi.encode_step, donate_argnums=1)
+    dec = jax.jit(mimi.decode_step, donate_argnums=1)
     enc_state = mimi.init_encode_state(1)
     dec_state = mimi.init_decode_state(1)
     pcm = jnp.zeros((1, 1, fs), jnp.float32)

@@ -94,8 +94,8 @@ class StreamingASR:
         self.items = [_ItemState(self.audio_pad_token, self.n_codebooks)
                       for _ in range(batch_size)]
         self.model_step_idx = 0
-        self._step_fn = jax.jit(self._device_step)
-        self._encode_fn = jax.jit(self.mimi.encode_step)
+        self._step_fn = jax.jit(self._device_step, donate_argnums=1)
+        self._encode_fn = jax.jit(self.mimi.encode_step, donate_argnums=1)
 
     # ------------------------------------------------------------- device part
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):

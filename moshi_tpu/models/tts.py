@@ -345,8 +345,8 @@ class TTSModel:
         if condition_cross is not None:
             gstate = gen.init_cross_state(gstate, params, condition_cross)
 
-        main_step = jax.jit(gen.main_step)
-        depth_step = jax.jit(gen.depth_step, static_argnames=())
+        main_step = jax.jit(gen.main_step, donate_argnums=1)
+        depth_step = jax.jit(gen.depth_step, donate_argnums=1)
 
         missing = c.num_codebooks - c.dep_q - 1
         input_tokens = jnp.full((B, max(missing, 1), 1), ids.zero, jnp.int32)
@@ -407,7 +407,7 @@ class TTSModel:
         B = result.frames[0].shape[0]
         dec_state = self.mimi.init_decode_state(B)
         pcms = []
-        decode = jax.jit(self.mimi.decode_step)
+        decode = jax.jit(self.mimi.decode_step, donate_argnums=1)
         for frame in result.frames[self.delay_steps:]:
             codes = jnp.clip(jnp.asarray(frame[:, 1:self.n_q + 1]), 0, None)
             pcm, dec_state = decode(mimi_params, dec_state, codes)

@@ -61,9 +61,11 @@ class InferenceState:
                 condition_provider_params, attrs)
             self.condition_sum = fuser.get_sum(tensors)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._encode = jax.jit(self.mimi.encode_step)
-        self._decode = jax.jit(self.mimi.decode_step)
-        self._lm_step = jax.jit(self.lm_gen.step)
+        # donate the streaming-state arg: XLA then scatters the ring KV
+        # in place instead of copying it every frame (~4 ms on 7B ctx 3000)
+        self._encode = jax.jit(self.mimi.encode_step, donate_argnums=1)
+        self._decode = jax.jit(self.mimi.decode_step, donate_argnums=1)
+        self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=1)
 
     def run(self, in_pcms: np.ndarray, eos_id: int = 2,
             on_text=None, gen_seconds: float = 0.0

@@ -19,8 +19,8 @@ class MimiWsState:
     def __init__(self, mimi, mimi_params):
         self.mimi = mimi
         self.params = mimi_params
-        self._encode = jax.jit(mimi.encode_step)
-        self._decode = jax.jit(mimi.decode_step)
+        self._encode = jax.jit(mimi.encode_step, donate_argnums=1)
+        self._decode = jax.jit(mimi.decode_step, donate_argnums=1)
 
     def new_session(self):
         return {"enc": self.mimi.init_encode_state(1),
@@ -80,8 +80,8 @@ class Tokenizer:
         self.params = mimi_params
         self._enc_state = None
         self._dec_state = None
-        self._encode_step = jax.jit(mimi.encode_step)
-        self._decode_step = jax.jit(mimi.decode_step)
+        self._encode_step = jax.jit(mimi.encode_step, donate_argnums=1)
+        self._decode_step = jax.jit(mimi.decode_step, donate_argnums=1)
 
     def encode(self, pcm: np.ndarray) -> np.ndarray:
         """pcm [B, 1, T] -> codes [B, K, n]."""

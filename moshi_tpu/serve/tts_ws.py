@@ -50,7 +50,7 @@ class TTSStreamer:
         self._input = jnp.full((1, max(self._missing, 1), 1), ZERO_TOKEN, jnp.int32)
         self._no_dep = jnp.full((1, c.dep_q, 1), ZERO_TOKEN, jnp.int32)
         self._gen_delays = np.asarray(c.delays[c.audio_offset:c.audio_offset + c.dep_q])
-        self._main = jax.jit(self.gen.main_step)
+        self._main = jax.jit(self.gen.main_step, donate_argnums=1)
 
         # Fused depformer + mimi-decode: one device round-trip per frame
         # instead of two (the host only intervenes between the temporal step
@@ -66,7 +66,7 @@ class TTSStreamer:
                                                   codes, exec_mask=valid)
             return out, pcm, gstate, dec_state
 
-        self._depth_decode = jax.jit(depth_decode)
+        self._depth_decode = jax.jit(depth_decode, donate_argnums=(2, 3))
 
     def feed_words(self, words: list[str]):
         """Queue text: normalized per rust tts_preprocess.rs (apostrophes,
