@@ -13,8 +13,15 @@ STATUS: correct (0.2% rel err) but NOT faster than XLA on this chip for
 B=1 decode: measured ~105 GB/s vs XLA's ~950 GB/s bf16 attention.  The
 [1, D] x [D, S] products are MXU weight-load-latency bound (the same wall as
 ops/qmatmul.py); XLA lowers skinny B=1 contractions to VPU code that streams
-at memory speed.  Kept as an experiment; revisit for B >= 8 decode batches
-where the MXU rows fill up.
+at memory speed.
+
+REVISITED at B=8 (round 2, the stated crossover): still loses.  The XLA
+int8-KV attention runs ~443 GB/s effective inside the frame; Pallas
+online-softmax variants over [B*H, S, D] int8 KV cap at ~300 GB/s on the
+pure DMA pattern alone (multi-head blocks, 2-D scales — note [.., 1] scale
+blocks lane-pad 1->128, a 128x traffic blowup to avoid), and the VPU
+mul+lane-reduce score path runs at ~119 GB/s.  Decode attention stays XLA;
+kept as a documented experiment.
 """
 
 import functools
