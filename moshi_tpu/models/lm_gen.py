@@ -336,8 +336,10 @@ class LMGen:
         """Second half of a frame: depformer sampling, audio forcing, cache
         commit.  `text_token` [B] may have been rewritten by the host.
 
-        audio_zero_mask: optional [dep_q] bool — codebooks to force to the
-        zero token (TTS pre-delay zeroing, tts.py:557-564).
+        audio_zero_mask: optional [dep_q] (or per-slot [B, dep_q]) bool —
+        codebooks to force to the zero token (TTS pre-delay zeroing,
+        tts.py:557-564; 2-D for batched TTS where slots are at different
+        offsets).
         forced_audio: optional [B, dep_q] int — values != UNGENERATED override
         the sampled tokens (TTS audio prefix forcing, tts.py:565-570).
         """
@@ -356,7 +358,9 @@ class LMGen:
                 params, krng, text_token, h, use_sampling=gc.use_sampling,
                 temp=gc.temp, top_k=gc.top_k, cfg_coef=gc.cfg_coef)
         if audio_zero_mask is not None:
-            audio_tokens = jnp.where(audio_zero_mask[None, :],
+            zm = (audio_zero_mask if audio_zero_mask.ndim == 2
+                  else audio_zero_mask[None, :])
+            audio_tokens = jnp.where(zm,
                                      jnp.full((), ZERO_TOKEN, jnp.int32),
                                      audio_tokens)
         if forced_audio is not None:

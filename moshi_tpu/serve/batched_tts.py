@@ -1,0 +1,278 @@
+"""Batched multi-tenant streaming TTS service.
+
+The reference serves batched TTS through moshi-server's pyo3 py_module (the
+embedded `tts.py` batched step loop, py_module.rs:265-283 + TTS_PY): N
+websocket channels share one model step over a batch, each with its own DSM
+text state machine and word queue.  Here the same design is one jitted batch
+frame (temporal forward + depformer + Mimi decode) with per-slot exec masks:
+
+- each connection owns a slot with its own `StateMachine` state, word queue,
+  offset, and starvation counter (tts_streaming.rs:28-45 max_consecutive
+  pads semantics: a slot with no queued words pauses instead of padding);
+- the shared loop steps the union of non-starved active slots; frozen slots
+  keep their LM/decoder state bit-exact via exec_mask;
+- per-slot audio delays are expressed as a [B, dep_q] zero-mask and a
+  per-slot decode validity mask, so slots at different offsets coexist in
+  one program.
+
+Wire protocol per connection: identical to the single-session tts_ws module
+(JSON "Text"/"Eos" in; b"\\x01"+ogg-opus and JSON word-timing events out).
+"""
+
+import asyncio
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.lm_gen import LMGen, LMGenConfig
+from ..models.lm import UNGENERATED_TOKEN, ZERO_TOKEN
+from ..models.tts import Entry
+from ..utils.trees import masked_reset
+from .metrics import MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
+
+
+class _TtsSlot:
+    def __init__(self, machine):
+        self.state = machine.new_state([])
+        self.offset = 0
+        self.eos = False
+        self.done = False
+        self.queue: asyncio.Queue = asyncio.Queue()
+
+
+class BatchedTTSState:
+    def __init__(self, tts, lm_params, mimi_params, batch_size: int,
+                 rng: jax.Array, max_consecutive_starved_pads: int = 10):
+        self.tts = tts
+        self.lm_params, self.mimi_params = lm_params, mimi_params
+        self.batch_size = batch_size
+        lm = tts.lm
+        c = lm.config
+        self.gen = LMGen(lm, LMGenConfig(
+            use_sampling=tts.temp > 0.0, temp=tts.temp, temp_text=tts.temp,
+            cfg_coef=tts.cfg_coef, padding_bonus=tts.padding_bonus))
+        self.machine = tts.machine
+        B = batch_size
+        self.gstate = self.gen.init_state(B, rng)
+        self.dec_state = tts.mimi.init_decode_state(B)
+        self._missing = c.num_codebooks - c.dep_q - 1
+        self._input = jnp.full((B, max(self._missing, 1), 1), ZERO_TOKEN,
+                               jnp.int32)
+        self._gen_delays = np.asarray(
+            c.delays[c.audio_offset:c.audio_offset + c.dep_q])
+        self._valid_after = max(self.gen.max_delay, tts.delay_steps)
+
+        self.slots: list[_TtsSlot | None] = [None] * B
+        self.lock = asyncio.Lock()
+
+        mimi, n_q = tts.mimi, tts.n_q
+
+        def depth_decode(lm_params, mimi_params, gstate, dec_state,
+                         text_token, h, exec_mask, zero_mask, dec_mask):
+            out, gstate = self.gen.depth_step(lm_params, gstate, text_token,
+                                              h, exec_mask, None, zero_mask,
+                                              None)
+            codes = jnp.clip(out[:, 1:n_q + 1], 0, None)
+            pcm, dec_state = mimi.decode_step(mimi_params, dec_state, codes,
+                                              exec_mask=dec_mask)
+            return out, pcm, gstate, dec_state
+
+        # donate the streaming states (in-place ring-KV scatter; see
+        # BENCH_BATCH.md) — every caller rebinds the returned states
+        self._main = jax.jit(self.gen.main_step, donate_argnums=1)
+        self._depth_decode = jax.jit(depth_decode, donate_argnums=(2, 3))
+
+    # ----------------------------------------------------------- slot mgmt
+    async def acquire_slot(self) -> int | None:
+        async with self.lock:
+            for b in range(self.batch_size):
+                if self.slots[b] is None:
+                    self.reset_slot(b)
+                    self.slots[b] = _TtsSlot(self.machine)
+                    OPEN_CHANNELS.inc()
+                    CONNECT_COUNT.inc()
+                    return b
+            return None
+
+    async def release_slot(self, b: int):
+        async with self.lock:
+            if self.slots[b] is not None:
+                self.slots[b] = None
+                OPEN_CHANNELS.dec()
+
+    def reset_slot(self, b: int):
+        mask = np.zeros((self.batch_size,), bool)
+        mask[b] = True
+        m = jnp.asarray(mask)
+        self.dec_state = masked_reset(
+            self.dec_state, self.tts.mimi.init_decode_state(self.batch_size), m)
+        fresh = self.gen.init_state(self.batch_size, self.gstate["rng"])
+        new_gen = dict(self.gstate)
+        m_model = jnp.tile(m, self.gen.model_batch_mult)
+        for key in ("cache", "offsets", "transformer", "text_history",
+                    "hist_pos"):
+            if key not in self.gstate:
+                continue
+            mk = m_model if key == "transformer" else m
+            new_gen[key] = masked_reset(self.gstate[key], fresh[key], mk)
+        self.gstate = new_gen
+
+    # ------------------------------------------------------------ word feed
+    def feed_words(self, b: int, words: list[str]):
+        """Normalize + queue text for slot b (rust tts_preprocess.rs)."""
+        from ..text.tts_preprocess import (parse_segments, normalize,
+                                           BreakTime, MAX_BREAK_S)
+        slot = self.slots[b]
+        if slot is None:
+            return
+        for w in words:
+            for seg in parse_segments(w):
+                if isinstance(seg, BreakTime):
+                    if seg.seconds > 0:
+                        npad = max(int(min(seg.seconds, MAX_BREAK_S)
+                                       * self.tts.mimi.frame_rate), 1)
+                        slot.state.entries.append(
+                            Entry(tokens=[], text="", padding=npad))
+                    continue
+                for word in normalize(seg).split():
+                    tokens = list(self.tts.tokenizer.encode(word))
+                    slot.state.entries.append(Entry(tokens=tokens, text=word))
+
+    def feed_eos(self, b: int):
+        if self.slots[b] is not None:
+            self.slots[b].eos = True
+
+    # ------------------------------------------------------------- stepping
+    def _starved(self, slot: _TtsSlot) -> bool:
+        return (not slot.eos and not slot.state.entries
+                and not slot.state.queued and slot.state.forced_padding <= 0)
+
+    def _finished(self, slot: _TtsSlot) -> bool:
+        return (slot.state.end_step is not None
+                and slot.offset >= slot.state.end_step + self.tts.delay_steps
+                + self.tts.final_padding)
+
+    def steppable(self) -> list[int]:
+        out = []
+        for b, slot in enumerate(self.slots):
+            if slot is None or slot.done:
+                continue
+            if self._finished(slot):
+                slot.done = True
+                slot.queue.put_nowait(("eos", None))
+                continue
+            if not self._starved(slot):
+                out.append(b)
+        return out
+
+    def step_batch(self, active: list[int]):
+        """One batched generation frame over the given slots."""
+        tts = self.tts
+        B = self.batch_size
+        exec_np = np.zeros((B,), bool)
+        exec_np[active] = True
+        exec_mask = jnp.asarray(exec_np)
+
+        text_token, _, h, self.gstate = self._main(
+            self.lm_params, self.gstate, self._input, exec_mask)
+        toks = np.asarray(text_token)
+
+        out_tokens = np.zeros((B,), np.int32)
+        events: dict[int, list] = {b: [] for b in active}
+        for b in active:
+            slot = self.slots[b]
+            before = len(slot.state.transcript)
+            out_tok, _ = self.machine.process(slot.offset, slot.state,
+                                              int(toks[b]))
+            out_tokens[b] = out_tok
+            events[b] = [{"type": "Text", "text": w,
+                          "start_s": s / tts.mimi.frame_rate}
+                         for w, s in slot.state.transcript[before:]]
+            if not slot.eos and slot.state.end_step is not None:
+                # ran out of words but the client may send more
+                slot.state.end_step = None
+
+        offsets = np.array([self.slots[b].offset if b in set(active) else 0
+                            for b in range(B)])
+        zero_mask = jnp.asarray(
+            offsets[:, None] < self._gen_delays[None, :] + tts.delay_steps)
+        valid = np.zeros((B,), bool)
+        for b in active:
+            valid[b] = self.slots[b].offset + 1 > self._valid_after
+        dec_mask = jnp.asarray(valid & exec_np)
+
+        out, pcm, self.gstate, self.dec_state = self._depth_decode(
+            self.lm_params, self.mimi_params, self.gstate, self.dec_state,
+            jnp.asarray(out_tokens), h, exec_mask, zero_mask, dec_mask)
+
+        out_np = np.asarray(out)
+        pcm_np = np.asarray(pcm)
+        TOTAL_STEPS.inc()
+        for b in active:
+            slot = self.slots[b]
+            slot.offset += 1
+            for e in events[b]:
+                slot.queue.put_nowait(("event", e))
+            if valid[b] and not (out_np[b] == UNGENERATED_TOKEN).any():
+                slot.queue.put_nowait(
+                    ("pcm", np.clip(pcm_np[b, 0], -1, 1)))
+
+    async def run_loop(self):
+        import time
+        while True:
+            active = self.steppable()
+            if not active:
+                await asyncio.sleep(0.005)
+                continue
+            t0 = time.time()
+            self.step_batch(active)
+            MODEL_STEP_DURATION.observe(time.time() - t0)
+            await asyncio.sleep(0)
+
+
+async def handle_batched_tts_socket(request, state: BatchedTTSState):
+    from aiohttp import web, WSMsgType
+    from .tts_ws import make_audio_encoder
+
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    slot = await state.acquire_slot()
+    if slot is None:
+        await ws.send_str(json.dumps({"type": "Error", "message": "full"}))
+        await ws.close()
+        return ws
+    writer = make_audio_encoder(state.tts.mimi.sample_rate)
+    await ws.send_str(json.dumps({"type": "Ready"}))
+
+    async def receiver():
+        async for message in ws:
+            if message.type != WSMsgType.TEXT:
+                continue
+            msg = json.loads(message.data)
+            if msg.get("type") == "Text":
+                state.feed_words(slot, [msg["text"]])
+            elif msg.get("type") == "Eos":
+                state.feed_eos(slot)
+
+    recv_task = asyncio.create_task(receiver())
+    try:
+        q = state.slots[slot].queue
+        while True:
+            kind, payload = await q.get()
+            if kind == "eos":
+                await ws.send_str(json.dumps({"type": "Eos"}))
+                break
+            if kind == "event":
+                await ws.send_str(json.dumps(payload))
+            elif kind == "pcm":
+                data = writer.append_pcm(
+                    np.ascontiguousarray(payload, np.float32))
+                if data:
+                    await ws.send_bytes(b"\x01" + data)
+    finally:
+        recv_task.cancel()
+        await state.release_slot(slot)
+        await ws.close()
+    return ws

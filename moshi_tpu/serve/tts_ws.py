@@ -25,6 +25,24 @@ from ..models.tts import Entry, StateMachine, TokenIds
 from ..models.lm import UNGENERATED_TOKEN, ZERO_TOKEN
 
 
+OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
+
+
+def make_audio_encoder(sample_rate: int):
+    """Streaming ogg-opus encoder for the outbound b"\\x01" audio frames;
+    falls back to raw f32le when the sample rate is outside what opus
+    supports (tiny test configs)."""
+    if sample_rate in OPUS_RATES:
+        from .. import moshi_native
+        return moshi_native.OpusStreamWriter(sample_rate)
+
+    class _Raw:
+        def append_pcm(self, pcm):
+            return np.ascontiguousarray(pcm, np.float32).tobytes()
+
+    return _Raw()
+
+
 class TTSStreamer:
     """Incremental DSM TTS over one session: words can be fed while audio is
     being generated; generation pauses when the word queue starves."""
@@ -138,12 +156,11 @@ class TTSStreamer:
 
 async def handle_tts_socket(request, make_streamer):
     from aiohttp import web, WSMsgType
-    from .. import moshi_native
 
     ws = web.WebSocketResponse()
     await ws.prepare(request)
     streamer = make_streamer()
-    writer = moshi_native.OpusStreamWriter(streamer.tts.mimi.sample_rate)
+    writer = make_audio_encoder(streamer.tts.mimi.sample_rate)
     await ws.send_str(json.dumps({"type": "Ready"}))
 
     recv_done = asyncio.Event()

@@ -192,6 +192,21 @@ def build_module(name: str, mcfg: dict, seed: int):
         return route, (lambda req: handle_tts_socket(req, make_streamer)), \
             None, {"type": mtype}
 
+    if mtype == "batched_tts":
+        from ..run_tts import build_tts
+        from .batched_tts import BatchedTTSState, handle_batched_tts_socket
+        tts, lm_params, mimi_params, _ = build_tts(
+            ckpt, temp=mcfg.get("temp", 0.6),
+            cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
+        state = BatchedTTSState(tts, lm_params, mimi_params,
+                                mcfg.get("batch_size", 8), rng)
+
+        async def startup():
+            return asyncio.create_task(state.run_loop())
+
+        return route, (lambda req: handle_batched_tts_socket(req, state)), \
+            startup, {"type": mtype, "batch_size": state.batch_size}
+
     if mtype == "mimi":
         from .mimi_ws import MimiWsState, handle_mimi_socket
         mimi, mimi_params = info.get_mimi()

@@ -140,3 +140,137 @@ def test_batched_moshi_reset_slot_with_cfg():
     tr_off = np.asarray(state.gen_state["transformer"]["offset"])
     assert tr_off[0] == 0 and tr_off[2] == 0
     assert tr_off[1] == 1 and tr_off[3] == 1
+
+
+def _tiny_tts_greedy():
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.models.tts import TTSModel, StateMachine, TokenIds
+
+    cfg = tiny_lm_config(n_q=2, dep_q=2, delays=(0, 0, 1))
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+    machine = StateMachine(TokenIds(card=cfg.text_card + 1), max_padding=3,
+                           initial_padding=1)
+    tts = TTSModel(lm, mimi, FakeTokenizer(), machine, delay_steps=2,
+                   temp=0.0, n_q=2, max_gen_length=200, final_padding=2)
+    return tts, lm_params, mimi_params
+
+
+def test_batched_tts_matches_single_streamer():
+    """A slot of the batched TTS service must produce exactly the single
+    TTSStreamer's audio and word events (greedy decode), while another slot
+    is idle/starved — the per-slot exec masks keep them independent."""
+    from moshi_tpu.serve.tts_ws import TTSStreamer
+    from moshi_tpu.serve.batched_tts import BatchedTTSState
+
+    tts, lm_params, mimi_params = _tiny_tts_greedy()
+    words = ["hello world"]
+
+    # --- single-session reference
+    s = TTSStreamer(tts, lm_params, mimi_params, jax.random.PRNGKey(2))
+    s.feed_words(words)
+    s.feed_eos()
+    ref_pcm, ref_texts = [], []
+    for _ in range(150):
+        if s.finished:
+            break
+        assert not s.starved
+        pcm, ev = s.step()
+        ref_texts += [e["text"] for e in ev]
+        if pcm is not None:
+            ref_pcm.append(pcm)
+    assert s.finished and ref_pcm
+
+    # --- batched service, slot 0 same script, slot 1 never connected
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(2))
+
+    async def drive():
+        b = await st.acquire_slot()
+        assert b == 0
+        st.feed_words(b, words)
+        st.feed_eos(b)
+        for _ in range(200):
+            active = st.steppable()
+            if not active:
+                break
+            st.step_batch(active)
+        slot = st.slots[b]
+        assert slot.done
+        got_pcm, got_texts = [], []
+        while not slot.queue.empty():
+            kind, payload = slot.queue.get_nowait()
+            if kind == "pcm":
+                got_pcm.append(payload)
+            elif kind == "event":
+                got_texts.append(payload["text"])
+        return got_pcm, got_texts
+
+    got_pcm, got_texts = asyncio.get_event_loop_policy() \
+        .new_event_loop().run_until_complete(drive())
+    assert got_texts == ref_texts
+    assert len(got_pcm) == len(ref_pcm)
+    for a, b_ in zip(got_pcm, ref_pcm):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
+
+
+def test_batched_tts_two_clients_ws():
+    """Two concurrent ws clients on one BatchedTTSState both stream audio
+    and reach Eos."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import json
+    from aiohttp import web, WSMsgType
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.serve.batched_tts import (BatchedTTSState,
+                                             handle_batched_tts_socket)
+
+    tts, lm_params, mimi_params = _tiny_tts()
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(3))
+
+    async def client_session(client, text):
+        ws = await client.ws_connect("/api/tts_streaming")
+        ready = json.loads((await ws.receive()).data)
+        assert ready == {"type": "Ready"}
+        await ws.send_str(json.dumps({"type": "Text", "text": text}))
+        await ws.send_str(json.dumps({"type": "Eos"}))
+        n_audio, texts, eos = 0, [], False
+        while True:
+            m = await asyncio.wait_for(ws.receive(), timeout=60)
+            if m.type == WSMsgType.BINARY and m.data[:1] == b"\x01":
+                n_audio += 1
+            elif m.type == WSMsgType.TEXT:
+                msg = json.loads(m.data)
+                if msg["type"] == "Eos":
+                    eos = True
+                    break
+                if msg["type"] == "Text":
+                    texts.append(msg["text"])
+            else:
+                break
+        await ws.close()
+        return n_audio, texts, eos
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/tts_streaming",
+                           lambda r: handle_batched_tts_socket(r, st))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        loop_task = asyncio.create_task(st.run_loop())
+        try:
+            r1, r2 = await asyncio.gather(
+                client_session(client, "hello there"),
+                client_session(client, "other words here"))
+            for n_audio, texts, eos in (r1, r2):
+                assert eos
+                assert n_audio > 0
+                assert texts
+        finally:
+            loop_task.cancel()
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
