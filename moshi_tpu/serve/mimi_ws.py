@@ -107,3 +107,108 @@ class Tokenizer:
     def reset(self):
         self._enc_state = None
         self._dec_state = None
+
+
+# ---------------------------------------------------------------- broadcast
+class MimiRoom:
+    """One broadcast room (reference moshi-server mimi.rs: a single producer
+    streams Text and raw mimi Codes; the server decodes codes to PCM and
+    fans the encoded audio out to any number of listeners)."""
+
+    def __init__(self, state: MimiWsState):
+        self.state = state
+        self.sess = state.new_session()
+        from .tts_ws import make_audio_encoder
+        self.writer = make_audio_encoder(state.mimi.sample_rate)
+        # ogg header pages (BOS + tags) for late joiners (mimi.rs
+        # header_message); the raw-f32 fallback has no header
+        hdr = self.writer.append_pcm(np.zeros((0,), np.float32))
+        self.header = hdr or b""
+        self.listeners: set = set()
+        self.producer_active = False
+        self.pcm_pending = np.zeros((0,), np.float32)
+
+    def broadcast(self, data: bytes):
+        for q in list(self.listeners):
+            q.put_nowait(data)
+
+
+class MimiRooms:
+    def __init__(self, state: MimiWsState):
+        self.state = state
+        self.rooms: dict[str, MimiRoom] = {}
+
+    def room(self, room_id: str) -> MimiRoom:
+        if room_id not in self.rooms:
+            self.rooms[room_id] = MimiRoom(self.state)
+        return self.rooms[room_id]
+
+
+async def handle_room_send(request, rooms: MimiRooms):
+    """Producer socket (mimi.rs send_socket): Text messages are forwarded
+    verbatim; Codes messages (u32 LE, one or more frames of K codebooks)
+    are streaming-decoded and broadcast as b"\\x01" audio in frame_size
+    chunks."""
+    from aiohttp import web, WSMsgType
+
+    room = rooms.room(request.match_info["room"])
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    if room.producer_active:
+        await ws.close(code=1008, message=b"already a producer")
+        return ws
+    room.producer_active = True
+    state = rooms.state
+    K = state.mimi.num_codebooks
+    fs = state.mimi.frame_size
+    try:
+        async for message in ws:
+            if message.type != WSMsgType.BINARY or not message.data:
+                continue
+            kind = message.data[0]
+            payload = message.data[1:]
+            if kind == 2:          # Text: forward directly (mimi.rs:181-183)
+                room.broadcast(bytes(message.data))
+            elif kind == 9:        # Codes -> decode -> pcm chunks
+                flat = np.frombuffer(payload, np.uint32).astype(np.int32)
+                if flat.size % K:
+                    continue
+                codes = flat.reshape(-1, K).T            # [K, n]
+                pcm = state.decode_codes(room.sess, codes)
+                room.pcm_pending = np.concatenate([room.pcm_pending, pcm])
+                while room.pcm_pending.shape[-1] >= fs:
+                    chunk = room.pcm_pending[:fs]
+                    room.pcm_pending = room.pcm_pending[fs:]
+                    data = room.writer.append_pcm(
+                        np.ascontiguousarray(chunk, np.float32))
+                    if data:
+                        room.broadcast(b"\x01" + data)
+    finally:
+        room.producer_active = False
+    return ws
+
+
+async def handle_room_recv(request, rooms: MimiRooms):
+    """Listener socket (mimi.rs recv_socket): 9-byte handshake, the room's
+    ogg header, then the live broadcast."""
+    import asyncio
+    from aiohttp import web
+
+    room = rooms.room(request.match_info["room"])
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    q: asyncio.Queue = asyncio.Queue()
+    room.listeners.add(q)
+    try:
+        await ws.send_bytes(b"\x00" + b"\x00" * 8)
+        if room.header:
+            await ws.send_bytes(b"\x01" + room.header)
+        while True:
+            data = await q.get()
+            await ws.send_bytes(data)
+    except (ConnectionResetError, asyncio.CancelledError):
+        pass
+    finally:
+        room.listeners.discard(q)
+        await ws.close()
+    return ws

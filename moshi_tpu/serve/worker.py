@@ -208,11 +208,20 @@ def build_module(name: str, mcfg: dict, seed: int):
             startup, {"type": mtype, "batch_size": state.batch_size}
 
     if mtype == "mimi":
-        from .mimi_ws import MimiWsState, handle_mimi_socket
+        from .mimi_ws import (MimiWsState, MimiRooms, handle_mimi_socket,
+                              handle_room_send, handle_room_recv)
         mimi, mimi_params = info.get_mimi()
         state = MimiWsState(mimi, mimi_params)
+        rooms = MimiRooms(state)
+        # broadcast rooms (moshi-server mimi.rs): producer + listeners
+        extra = [
+            (route + "/{room}/send",
+             lambda req: handle_room_send(req, rooms)),
+            (route + "/{room}/recv",
+             lambda req: handle_room_recv(req, rooms)),
+        ]
         return route, (lambda req: handle_mimi_socket(req, state)), None, \
-            {"type": mtype}
+            {"type": mtype, "_extra_routes": extra}
 
     raise ValueError(f"unknown module type {mtype}")
 
@@ -272,6 +281,8 @@ def main():
             app.router.add_post(route, handler)
         else:
             app.router.add_get(route, handler)
+        for extra_route, extra_handler in minfo.pop("_extra_routes", []):
+            app.router.add_get(extra_route, extra_handler)
         modules_info[name] = {**minfo, "route": route}
         if startup is not None:
             startups.append(startup)

@@ -174,3 +174,76 @@ script = "{script}"
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_mimi_broadcast_room():
+    """Mimi broadcast rooms (moshi-server mimi.rs): one producer streams
+    codes + text; two listeners both receive the handshake, the text
+    forward, and decoded audio."""
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp import web, WSMsgType
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.mimi_ws import (MimiWsState, MimiRooms,
+                                         handle_room_send, handle_room_recv)
+
+    from test_mimi import tiny_mimi_config
+    from moshi_tpu.models.mimi import MimiModel
+    import jax
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(0))
+    state = MimiWsState(mimi, mimi_params)
+    rooms = MimiRooms(state)
+    K = mimi.num_codebooks
+
+    async def listener(client, got):
+        ws = await client.ws_connect("/api/mimi/r1/recv")
+        hs = await ws.receive_bytes()
+        assert hs[0] == 0 and len(hs) == 9
+        while True:
+            try:
+                m = await asyncio.wait_for(ws.receive(), timeout=5)
+            except asyncio.TimeoutError:
+                break
+            if m.type != aiohttp.WSMsgType.BINARY:
+                break
+            got.append(bytes(m.data))
+            if sum(1 for g in got if g[0] == 1) >= 2 and \
+               any(g[0] == 2 for g in got):
+                break
+        await ws.close()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/mimi/{room}/send",
+                           lambda r: handle_room_send(r, rooms))
+        app.router.add_get("/api/mimi/{room}/recv",
+                           lambda r: handle_room_recv(r, rooms))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            got1, got2 = [], []
+            t1 = asyncio.create_task(listener(client, got1))
+            t2 = asyncio.create_task(listener(client, got2))
+            await asyncio.sleep(0.1)
+            send = await client.ws_connect("/api/mimi/r1/send")
+            # a second producer must be rejected
+            dup = await client.ws_connect("/api/mimi/r1/send")
+            m = await dup.receive()
+            assert m.type in (WSMsgType.CLOSE, WSMsgType.CLOSED)
+            await send.send_bytes(b"\x02hello")
+            rs = np.random.RandomState(0)
+            for _ in range(10):
+                codes = rs.randint(0, 16, size=(K,), dtype=np.uint32)
+                await send.send_bytes(b"\x09" + codes.tobytes())
+                await asyncio.sleep(0.01)
+            await asyncio.gather(t1, t2)
+            for got in (got1, got2):
+                kinds = [g[0] for g in got]
+                assert 2 in kinds, "text not forwarded"
+                assert kinds.count(1) >= 1, "no audio broadcast"
+            await send.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
