@@ -18,6 +18,7 @@ from ..utils.quantize import QTensor, QTensor4
 
 
 def _flatten(tree, prefix=""):
+    from .lora import LoRAWeight
     out = {}
     if isinstance(tree, QTensor):
         out[prefix + "#q"] = tree.q
@@ -25,6 +26,13 @@ def _flatten(tree, prefix=""):
     elif isinstance(tree, QTensor4):
         out[prefix + "#q4"] = tree.q
         out[prefix + "#scale4"] = tree.scale
+    elif isinstance(tree, LoRAWeight):
+        # stored as a nested marker dict so the (possibly quantized) base
+        # reuses the QTensor encoding
+        out.update(_flatten(
+            {"__lora__": {"base": tree.base, "a": tree.a, "b": tree.b,
+                          "scaling": jnp.asarray(tree.scaling, jnp.float32)}},
+            prefix))
     elif isinstance(tree, dict):
         if not tree and prefix:
             out[prefix + "#empty"] = jnp.asarray(0, jnp.int32)
@@ -78,7 +86,20 @@ def load_params(path: str | Path) -> dict:
         node, last = _walk(root, base.split("/"))
         d = node.get(last, {})
         node[last] = [d[str(i)] for i in range(lists[base])]
-    return root
+    return _rebuild_lora(root)
+
+
+def _rebuild_lora(tree):
+    from .lora import LoRAWeight
+    if isinstance(tree, dict):
+        if set(tree) == {"__lora__"}:
+            lw = tree["__lora__"]
+            return LoRAWeight(_rebuild_lora(lw["base"]), lw["a"], lw["b"],
+                              float(lw["scaling"]))
+        return {k: _rebuild_lora(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_rebuild_lora(v) for v in tree]
+    return tree
 
 
 def _insert(root, parts, value):

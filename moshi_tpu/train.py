@@ -52,3 +52,41 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation):
         return params, opt_state, loss, metrics
 
     return train_step
+
+
+# ----------------------------------------------------------- checkpoint/resume
+def save_train_state(path, params, opt_state, step: int,
+                     rng: jax.Array | None = None):
+    """Save a full training state (params incl. QTensor/LoRAWeight leaves,
+    optimizer state, step counter, rng) to one safetensors file.
+
+    The reference checkpoints weights only (SURVEY §5: no optimizer state);
+    resumable training is a TPU-native addition.  The optimizer state is
+    stored as its flattened leaves; `load_train_state` rebuilds it against a
+    freshly-initialized state of the SAME optimizer, so the optimizer
+    configuration is part of the contract, not the file."""
+    from .models import native_ckpt
+    leaves = jax.tree.leaves(opt_state)
+    tree = {
+        "params": params,
+        "opt_leaves": {str(i): x for i, x in enumerate(leaves)},
+        "meta": {"step": jnp.asarray(step, jnp.int32)},
+    }
+    if rng is not None:
+        tree["meta"]["rng"] = rng
+    native_ckpt.save_params(path, tree)
+
+
+def load_train_state(path, template_opt_state):
+    """Returns (params, opt_state, step, rng|None).  `template_opt_state` is
+    `optimizer.init(params)` for the same optimizer/param structure — its
+    treedef rebuilds the saved leaves."""
+    from .models import native_ckpt
+    tree = native_ckpt.load_params(path)
+    treedef = jax.tree.structure(template_opt_state)
+    n = treedef.num_leaves
+    leaves = [tree["opt_leaves"][str(i)] for i in range(n)]
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    step = int(tree["meta"]["step"])
+    rng = tree["meta"].get("rng")
+    return tree["params"], opt_state, step, rng
