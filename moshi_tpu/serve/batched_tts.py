@@ -44,9 +44,13 @@ class _TtsSlot:
 
 class BatchedTTSState:
     def __init__(self, tts, lm_params, mimi_params, batch_size: int,
-                 rng: jax.Array, max_consecutive_starved_pads: int = 10):
+                 rng: jax.Array, max_consecutive_starved_pads: int = 10,
+                 condition_params: dict | None = None):
         self.tts = tts
         self.lm_params, self.mimi_params = lm_params, mimi_params
+        self.cp_params = condition_params
+        self.condition_sum = None
+        self.slot_attrs: list = [None] * batch_size
         self.batch_size = batch_size
         lm = tts.lm
         c = lm.config
@@ -116,8 +120,53 @@ class BatchedTTSState:
             if key not in self.gstate:
                 continue
             mk = m_model if key == "transformer" else m
-            new_gen[key] = masked_reset(self.gstate[key], fresh[key], mk)
+            if key == "transformer":
+                # the live state may carry precomputed cross-attn K/V that a
+                # fresh init lacks; those rows are rebuilt by
+                # _recompute_conditioning, not the masked reset
+                cur = dict(self.gstate[key])
+                sub = {k2: cur[k2] for k2 in fresh[key]}
+                cur.update(masked_reset(sub, fresh[key], mk))
+                new_gen[key] = cur
+            else:
+                new_gen[key] = masked_reset(self.gstate[key], fresh[key], mk)
         self.gstate = new_gen
+        if self.slot_attrs[b] is not None:
+            # clear the departed session's voice rows so a new voiceless
+            # session doesn't attend to them
+            self.slot_attrs[b] = None
+            self._recompute_conditioning()
+
+    # ------------------------------------------------------------- voices
+    def set_slot_voice(self, b: int, voice_embedding: np.ndarray):
+        """Per-slot speaker conditioning [T, D] (all slots must use the same
+        embedding length, as `TensorCondition.cat` batches them)."""
+        tts = self.tts
+        if tts.condition_provider is None or self.cp_params is None:
+            return
+        self.slot_attrs[b] = tts.make_condition_attributes(
+            [np.asarray(voice_embedding, np.float32)[None]], None)
+        self._recompute_conditioning()
+
+    def _recompute_conditioning(self):
+        from ..conditioners import dropout_all_conditions
+        tts = self.tts
+        if (tts.condition_provider is None or tts.fuser is None
+                or all(a is None for a in self.slot_attrs)):
+            self.condition_sum = None
+            return
+        template = next(a for a in self.slot_attrs if a is not None)
+        null = dropout_all_conditions([template])[0]
+        attrs = [a if a is not None else null for a in self.slot_attrs]
+        if self.gen.model_batch_mult == 2:
+            attrs = attrs + dropout_all_conditions(attrs)
+        tensors = tts.condition_provider.prepare_and_provide(
+            self.cp_params, attrs)
+        self.condition_sum = tts.fuser.get_sum(tensors)
+        cross = tts.fuser.get_cross(tensors)
+        if cross is not None:
+            self.gstate = self.gen.init_cross_state(self.gstate,
+                                                    self.lm_params, cross)
 
     # ------------------------------------------------------------ word feed
     def feed_words(self, b: int, words: list[str]):
@@ -176,7 +225,8 @@ class BatchedTTSState:
         exec_mask = jnp.asarray(exec_np)
 
         text_token, _, h, self.gstate = self._main(
-            self.lm_params, self.gstate, self._input, exec_mask)
+            self.lm_params, self.gstate, self._input, exec_mask,
+            self.condition_sum)
         toks = np.asarray(text_token)
 
         out_tokens = np.zeros((B,), np.int32)
@@ -253,6 +303,10 @@ async def handle_batched_tts_socket(request, state: BatchedTTSState):
             msg = json.loads(message.data)
             if msg.get("type") == "Text":
                 state.feed_words(slot, [msg["text"]])
+            elif msg.get("type") == "Voice":
+                emb = np.asarray(msg["embeddings"],
+                                 np.float32).reshape(msg["shape"])
+                state.set_slot_voice(slot, emb)
             elif msg.get("type") == "Eos":
                 state.feed_eos(slot)
 

@@ -48,10 +48,13 @@ class TTSStreamer:
     being generated; generation pauses when the word queue starves."""
 
     def __init__(self, tts, lm_params, mimi_params, rng,
-                 max_consecutive_starved_pads: int = 10):
+                 max_consecutive_starved_pads: int = 10,
+                 condition_params: dict | None = None):
         self.tts = tts
         self.lm_params = lm_params
         self.mimi_params = mimi_params
+        self.cp_params = condition_params
+        self.condition_sum = None
         lm = tts.lm
         self.gen = LMGen(lm, LMGenConfig(
             use_sampling=True, temp=tts.temp, temp_text=tts.temp,
@@ -85,6 +88,30 @@ class TTSStreamer:
             return out, pcm, gstate, dec_state
 
         self._depth_decode = jax.jit(depth_decode, donate_argnums=(2, 3))
+
+    def set_voice(self, voice_embedding: np.ndarray):
+        """Per-session speaker conditioning: cross-attn K/V from a speaker
+        embedding [T, D] (reference tts_streaming voice queries; the wire
+        shape matches py_module InMsg::Voice{embeddings, shape}).  Requires
+        a conditioned checkpoint (cross-attn LM + speaker_wavs conditioner);
+        silently ignored otherwise."""
+        tts = self.tts
+        if tts.condition_provider is None or self.cp_params is None:
+            return
+        attrs = [tts.make_condition_attributes(
+            [np.asarray(voice_embedding, np.float32)[None]], None)]
+        if self.gen.model_batch_mult == 2:
+            from ..conditioners import dropout_all_conditions
+            attrs = attrs + dropout_all_conditions(attrs)
+        tensors = tts.condition_provider.prepare_and_provide(
+            self.cp_params, attrs)
+        if tts.fuser is None:
+            return
+        self.condition_sum = tts.fuser.get_sum(tensors)
+        cross = tts.fuser.get_cross(tensors)
+        if cross is not None:
+            self.gstate = self.gen.init_cross_state(self.gstate,
+                                                    self.lm_params, cross)
 
     def feed_words(self, words: list[str]):
         """Queue text: normalized per rust tts_preprocess.rs (apostrophes,
@@ -126,7 +153,8 @@ class TTSStreamer:
         tts = self.tts
         c = tts.lm.config
         text_token, _, h, self.gstate = self._main(
-            self.lm_params, self.gstate, self._input)
+            self.lm_params, self.gstate, self._input, None,
+            self.condition_sum)
         tok = int(np.asarray(text_token)[0])
         before = len(self.state.transcript)
         out_tok, _ = self.machine.process(self.offset, self.state, tok)
@@ -172,6 +200,10 @@ async def handle_tts_socket(request, make_streamer):
             msg = json.loads(message.data)
             if msg.get("type") == "Text":
                 streamer.feed_words([msg["text"]])
+            elif msg.get("type") == "Voice":
+                emb = np.asarray(msg["embeddings"],
+                                 np.float32).reshape(msg["shape"])
+                streamer.set_voice(emb)
             elif msg.get("type") == "Eos":
                 streamer.feed_eos()
         recv_done.set()

@@ -274,3 +274,97 @@ def test_batched_tts_two_clients_ws():
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def _tiny_tts_voiced(temp=0.0):
+    """Tiny TTS with cross-attention + speaker_wavs tensor conditioning."""
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.models.tts import TTSModel, StateMachine, TokenIds
+    from moshi_tpu.conditioners import (ConditionProvider, TensorConditioner,
+                                        ConditionFuser)
+
+    cfg = tiny_lm_config(n_q=2, dep_q=2, delays=(0, 0, 1),
+                         cross_attention=True)
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+    machine = StateMachine(TokenIds(card=cfg.text_card + 1), max_padding=3,
+                           initial_padding=1)
+    provider = ConditionProvider(
+        {"speaker_wavs": TensorConditioner(output_dim=cfg.dim, dim=6)})
+    fuser = ConditionFuser({"cross": ["speaker_wavs"]})
+    cp_params = provider.init_params(jax.random.PRNGKey(2))
+    tts = TTSModel(lm, mimi, FakeTokenizer(), machine, delay_steps=2,
+                   condition_provider=provider, fuser=fuser, max_speakers=1,
+                   temp=temp, n_q=2, max_gen_length=200, final_padding=2)
+    return tts, lm_params, mimi_params, cp_params
+
+
+def test_tts_voice_conditioning_streamers():
+    """Per-session voice conditioning: the batched service slot with voice A
+    matches the single streamer with voice A exactly (greedy), and a slot
+    with voice B produces different audio."""
+    from moshi_tpu.serve.tts_ws import TTSStreamer
+    from moshi_tpu.serve.batched_tts import BatchedTTSState
+
+    tts, lm_params, mimi_params, cp_params = _tiny_tts_voiced()
+    rs = np.random.RandomState(0)
+    voice_a = rs.randn(4, 6).astype(np.float32)
+    voice_b = rs.randn(4, 6).astype(np.float32) * 2.0
+    words = ["hello world"]
+
+    def run_single(voice):
+        s = TTSStreamer(tts, lm_params, mimi_params, jax.random.PRNGKey(2),
+                        condition_params=cp_params)
+        s.set_voice(voice)
+        s.feed_words(words)
+        s.feed_eos()
+        pcms = []
+        for _ in range(150):
+            if s.finished:
+                break
+            pcm, _ = s.step()
+            if pcm is not None:
+                pcms.append(pcm)
+        assert s.finished and pcms
+        return np.concatenate(pcms)
+
+    ref_a = run_single(voice_a)
+    ref_b = run_single(voice_b)
+    assert ref_a.shape != ref_b.shape or not np.allclose(ref_a, ref_b), \
+        "voices must influence the output"
+
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(2),
+                         condition_params=cp_params)
+
+    async def drive():
+        b0 = await st.acquire_slot()
+        b1 = await st.acquire_slot()
+        st.set_slot_voice(b0, voice_a)
+        st.set_slot_voice(b1, voice_b)
+        for b in (b0, b1):
+            st.feed_words(b, words)
+            st.feed_eos(b)
+        for _ in range(250):
+            active = st.steppable()
+            if not active:
+                break
+            st.step_batch(active)
+        out = {}
+        for b in (b0, b1):
+            assert st.slots[b].done
+            pcms = []
+            while not st.slots[b].queue.empty():
+                kind, payload = st.slots[b].queue.get_nowait()
+                if kind == "pcm":
+                    pcms.append(payload)
+            out[b] = np.concatenate(pcms) if pcms else np.zeros(0)
+        return out[b0], out[b1]
+
+    got_a, got_b = asyncio.get_event_loop_policy() \
+        .new_event_loop().run_until_complete(drive())
+    np.testing.assert_allclose(got_a, ref_a, atol=1e-5)
+    np.testing.assert_allclose(got_b, ref_b, atol=1e-5)
