@@ -373,7 +373,11 @@ def lm_params_from_torch_state(model: LMModel, state: dict,
              for k, v in state.items()}
     p = {
         "text_emb": _emb_params(state, "text_emb"),
-        "emb": {"weight": jnp.stack([state[f"emb.{k}.weight"] for k in range(c.n_q)])},
+        # n_q == 0 is the text-only (helium) case: an empty stack keeps
+        # embed_inputs' vmap-sum a no-op
+        "emb": {"weight":
+                jnp.stack([state[f"emb.{k}.weight"] for k in range(c.n_q)])
+                if c.n_q else jnp.zeros((0, c.card + 1, c.dim), dtype)},
         "transformer": _lm_transformer_params(state, c),
         "out_norm": _norm_params(state, "out_norm", c.norm),
         "text_linear": {"weight": _lin(state, "text_linear.weight")},

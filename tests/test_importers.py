@@ -410,3 +410,128 @@ def test_import_mlx_checkpoint(tmp_path):
     a = np.asarray(out_a["text_logits"])[mt]
     b = np.asarray(out_b["text_logits"])[mt]
     assert np.abs(a - b).max() / (np.abs(b).max() + 1e-9) < 0.1
+
+
+def test_export_mlx_roundtrip(tmp_path):
+    """export_mlx -> import_mlx round-trip on the tiny torch reference LM:
+    exact forward parity unquantized, bounded error with q4 quantization."""
+    torch = pytest.importorskip("torch")
+    from refutil import import_reference, state_dict_to_numpy
+    import_reference()
+    import json as _json
+    import export_mlx
+    import import_mlx
+    from safetensors.numpy import save_file
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import (CheckpointInfo,
+                                          lm_params_from_torch_state)
+
+    cfg = tiny_lm_config()
+    ref = _build_reference_lm(torch, cfg)
+    pth = {k: v.astype(np.float32) for k, v in state_dict_to_numpy(ref).items()}
+
+    lm_cfg_json = {
+        "dim": cfg.dim, "num_heads": cfg.num_heads, "num_layers": cfg.num_layers,
+        "hidden_scale": cfg.hidden_scale, "n_q": cfg.n_q, "dep_q": cfg.dep_q,
+        "card": cfg.card, "text_card": cfg.text_card, "norm": cfg.norm,
+        "context": cfg.context, "max_period": cfg.max_period,
+        "gating": cfg.gating, "positional_embedding": cfg.positional_embedding,
+        "depformer_dim": cfg.depformer_dim,
+        "depformer_num_heads": cfg.depformer_num_heads,
+        "depformer_num_layers": cfg.depformer_num_layers,
+        "depformer_dim_feedforward": cfg.depformer_dim_feedforward,
+        "depformer_gating": cfg.depformer_gating,
+        "depformer_pos_emb": cfg.depformer_pos_emb,
+        "depformer_multi_linear": True, "depformer_weights_per_step": True,
+        "causal": True, "delays": list(cfg.delays),
+        "moshi_name": "model.safetensors",
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in pth.items()},
+              str(src / "model.safetensors"))
+    (src / "config.json").write_text(_json.dumps(lm_cfg_json))
+
+    direct = LMModel(cfg)
+    dparams = lm_params_from_torch_state(
+        direct, {k: jnp.asarray(v) for k, v in pth.items()}, dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    codes = rs.randint(0, 16, (1, cfg.num_codebooks, 5)).astype(np.int32)
+    ref_out = direct.forward(dparams, jnp.asarray(codes))
+
+    # q4 on a TINY random-weight model is worst-case (dim 32 = one group
+    # per row, N(0,1) weights): the forward check is loose; exactness is
+    # covered by the unquantized pass + the per-weight affine bound below
+    for quant, rtol in ((False, 1e-6), (True, 0.35)):
+        out_file = tmp_path / f"mlx_{quant}.safetensors"
+        export_mlx.export_model(src, out_file, bits=4, group_size=32,
+                                quantize=quant)
+        imported = import_mlx.import_model(out_file,
+                                           tmp_path / f"imp_{quant}",
+                                           lm_cfg_json)
+        info = CheckpointInfo.from_dir(imported)
+        lm, params = info.get_moshi(dtype=jnp.float32)
+        got = lm.forward(params, jnp.asarray(codes))
+        a = np.nan_to_num(np.asarray(ref_out["text_logits"], np.float32))
+        b = np.nan_to_num(np.asarray(got["text_logits"], np.float32))
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert err <= rtol, (quant, err)
+
+    # weight-level affine bound: every q4 code is within one quantization
+    # step of the original weight
+    from safetensors.numpy import load_file
+    mlxq = load_file(str(tmp_path / "mlx_True.safetensors"))
+    wq = mlxq["text_linear.weight"]
+    deq = import_mlx.dequantize_mlx(wq, mlxq["text_linear.scales"],
+                                    mlxq["text_linear.biases"])
+    w0 = pth["text_linear.weight"]
+    step = (w0.reshape(w0.shape[0], -1, 32).max(-1)
+            - w0.reshape(w0.shape[0], -1, 32).min(-1)).max() / 15
+    assert np.abs(deq - w0).max() <= step + 1e-5
+
+
+def test_import_helium_hf_llama(tmp_path):
+    """HF Llama-style checkpoint -> import_helium -> text-only LM that
+    generates through run_helium's path (reference import_helium_mlx.py)."""
+    import import_helium
+    from safetensors.numpy import save_file
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.run_helium import generate_text
+
+    rs = np.random.RandomState(0)
+    dim, vocab, n_layers, heads, kv_heads, hidden = 32, 64, 2, 4, 2, 32
+    head_dim = dim // heads
+    t = {
+        "model.embed_tokens.weight": rs.randn(vocab, dim) * 0.05,
+        "lm_head.weight": rs.randn(vocab, dim) * 0.05,
+        "model.norm.weight": np.ones(dim) + rs.randn(dim) * 0.01,
+    }
+    for i in range(n_layers):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(dim) + rs.randn(dim) * 0.01
+        t[p + "post_attention_layernorm.weight"] = np.ones(dim)
+        t[p + "self_attn.q_proj.weight"] = rs.randn(dim, dim) * 0.05
+        t[p + "self_attn.k_proj.weight"] = rs.randn(kv_heads * head_dim, dim) * 0.05
+        t[p + "self_attn.v_proj.weight"] = rs.randn(kv_heads * head_dim, dim) * 0.05
+        t[p + "self_attn.o_proj.weight"] = rs.randn(dim, dim) * 0.05
+        t[p + "mlp.gate_proj.weight"] = rs.randn(hidden, dim) * 0.05
+        t[p + "mlp.up_proj.weight"] = rs.randn(hidden, dim) * 0.05
+        t[p + "mlp.down_proj.weight"] = rs.randn(dim, hidden) * 0.05
+    save_file({k: np.ascontiguousarray(v, np.float32) for k, v in t.items()},
+              str(tmp_path / "hf.safetensors"))
+
+    out = import_helium.import_model(tmp_path / "hf.safetensors",
+                                     tmp_path / "helium", num_heads=heads,
+                                     context=64)
+    cfg = json.loads((out / "config.json").read_text())
+    assert cfg["n_q"] == 0 and cfg["dep_q"] == 0
+    assert cfg["kv_repeat"] == heads // kv_heads
+
+    info = CheckpointInfo.from_dir(out)
+    lm, params = info.get_moshi(dtype=jnp.float32)
+    assert lm.config.text_card == vocab
+    toks = generate_text(lm, params, [1, 2, 3], num_steps=6,
+                         rng=jax.random.PRNGKey(0), temp=0.0,
+                         dtype=jnp.float32)
+    assert len(toks) == 6
+    assert all(0 <= tk < vocab for tk in toks)
