@@ -96,6 +96,7 @@ class StreamingASR:
         self.model_step_idx = 0
         self._step_fn = jax.jit(self._device_step, donate_argnums=1)
         self._encode_fn = jax.jit(self.mimi.encode_step, donate_argnums=1)
+        self._reset_fn = jax.jit(self._masked_reset, donate_argnums=0)
 
     # ------------------------------------------------------------- device part
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
@@ -121,11 +122,17 @@ class StreamingASR:
         }
 
     def reset_batch_idx(self, state: dict, batch_idx: int) -> dict:
-        from ..utils.trees import masked_reset
         self.items[batch_idx].reset()
         mask = np.zeros((self.batch_size,), bool)
         mask[batch_idx] = True
-        mask = jnp.asarray(mask)
+        return self._reset_fn(state, jnp.asarray(mask))
+
+    def _masked_reset(self, state: dict, mask: jax.Array) -> dict:
+        """Jitted per-slot reset with state donation: a host-side masked
+        reset materializes a complete fresh KV cache next to the live one
+        and can OOM at max batch; inside jit the fresh init fuses into
+        in-place selects on the donated buffers."""
+        from ..utils.trees import masked_reset
         init = {
             "mimi": self.mimi.init_encode_state(self.batch_size),
             "transformer": self.lm.transformer.init_state(
@@ -133,7 +140,8 @@ class StreamingASR:
         }
         new = dict(state)
         new["mimi"] = masked_reset(state["mimi"], init["mimi"], mask)
-        new["transformer"] = masked_reset(state["transformer"], init["transformer"], mask)
+        new["transformer"] = masked_reset(state["transformer"],
+                                          init["transformer"], mask)
         return new
 
     # ---------------------------------------------------------------- stepping

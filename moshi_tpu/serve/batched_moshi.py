@@ -69,6 +69,32 @@ class BatchedMoshiState:
         # max batch that fits in HBM.
         self._frame = jax.jit(frame, donate_argnums=(2, 3, 4))
 
+        def _reset(gen_state, enc_state, dec_state, mask):
+            fresh = self.lm_gen.init_state(batch_size, gen_state["rng"])
+            # The transformer sub-state is allocated at batch_size *
+            # model_batch_mult when CFG doubles the model batch, so its
+            # reset mask is tiled the same way as in LMGen._step.
+            m_model = jnp.tile(mask, self.lm_gen.model_batch_mult)
+            new_gen = dict(gen_state)
+            for key in ("cache", "offsets", "transformer", "text_history",
+                        "hist_pos"):
+                if key not in gen_state:
+                    continue
+                mk = m_model if key == "transformer" else mask
+                new_gen[key] = masked_reset(gen_state[key], fresh[key], mk)
+            enc_state = masked_reset(enc_state, mimi.init_encode_state(batch_size),
+                                     mask)
+            dec_state = masked_reset(dec_state, mimi.init_decode_state(batch_size),
+                                     mask)
+            return new_gen, enc_state, dec_state
+
+        # Per-slot reset must be jitted WITH donation: a host-side masked
+        # reset materializes a complete fresh state (a second full KV cache)
+        # next to the live one and OOMs at max batch (found live: B=8 ctx
+        # 3000 int8/int8 on a 16 GB v5e).  Inside jit the fresh init fuses
+        # into in-place selects on the donated buffers.
+        self._reset = jax.jit(_reset, donate_argnums=(0, 1, 2))
+
     def warmup(self):
         pcm = jnp.zeros((self.batch_size, 1, self.frame_size), jnp.float32)
         mask = jnp.ones((self.batch_size,), bool)
@@ -81,31 +107,18 @@ class BatchedMoshiState:
         self.reset_all()
 
     def reset_all(self):
-        self.enc_state = self.mimi.init_encode_state(self.batch_size)
-        self.dec_state = self.mimi.init_decode_state(self.batch_size)
-        rng = self.gen_state["rng"]
-        self.gen_state = self.lm_gen.init_state(self.batch_size, rng)
+        # all-slots reset through the donated jitted reset: allocating a
+        # fresh full state next to the live one doubles the KV footprint
+        # and OOMs at max batch
+        self.gen_state, self.enc_state, self.dec_state = self._reset(
+            self.gen_state, self.enc_state, self.dec_state,
+            jnp.ones((self.batch_size,), bool))
 
     def reset_slot(self, slot: int):
         mask = np.zeros((self.batch_size,), bool)
         mask[slot] = True
-        m = jnp.asarray(mask)
-        self.enc_state = masked_reset(
-            self.enc_state, self.mimi.init_encode_state(self.batch_size), m)
-        self.dec_state = masked_reset(
-            self.dec_state, self.mimi.init_decode_state(self.batch_size), m)
-        fresh = self.lm_gen.init_state(self.batch_size, self.gen_state["rng"])
-        new_gen = dict(self.gen_state)
-        # The transformer sub-state is allocated at batch_size * model_batch_mult
-        # when CFG doubles the model batch (mirrors the exec_mask tiling in
-        # LMGen._step), so its reset mask must be tiled the same way.
-        m_model = jnp.tile(m, self.lm_gen.model_batch_mult)
-        for key in ("cache", "offsets", "transformer", "text_history", "hist_pos"):
-            if key not in self.gen_state:
-                continue
-            mk = m_model if key == "transformer" else m
-            new_gen[key] = masked_reset(self.gen_state[key], fresh[key], mk)
-        self.gen_state = new_gen
+        self.gen_state, self.enc_state, self.dec_state = self._reset(
+            self.gen_state, self.enc_state, self.dec_state, jnp.asarray(mask))
         self.skip_frames[slot] = 1
 
     async def acquire_slot(self) -> int | None:
@@ -150,16 +163,12 @@ class BatchedMoshiState:
                 chunk[s, 0] = self.slot_pcm[s][:fs]
                 self.slot_pcm[s] = self.slot_pcm[s][fs:]
                 if self.skip_frames[s] > 0:
-                    # first-frame skip: encode then re-apply the encoder left
-                    # padding next call (server.py:136-142)
+                    # first-frame skip (server.py:136-142): the reference
+                    # encodes the frame, discards the codes, and resets the
+                    # encoder — state-wise a no-op, so just drop the frame.
+                    # (An eager encode here stalled the serve loop ~10 s/slot
+                    # through the device tunnel — found live.)
                     self.skip_frames[s] -= 1
-                    em = np.zeros((B,), bool)
-                    em[s] = True
-                    _, enc_state = self.mimi.encode_step(
-                        self.mimi_params, self.enc_state,
-                        jnp.asarray(chunk * em[:, None, None]), jnp.asarray(em))
-                    self.enc_state = masked_reset(
-                        enc_state, self.mimi.init_encode_state(B), jnp.asarray(em))
                     continue
                 mask_np[s] = True
             if not mask_np.any():
@@ -170,8 +179,10 @@ class BatchedMoshiState:
                 self._frame(self.lm_params, self.mimi_params, self.gen_state,
                             self.enc_state, self.dec_state, jnp.asarray(chunk),
                             jnp.asarray(mask_np))
-            out_np = np.asarray(out)
-            pcm_np = np.asarray(pcm_out)
+            # fetch on a worker thread: the device sync would otherwise block
+            # the event loop (and every ws client) for the whole step
+            out_np, pcm_np = await asyncio.to_thread(
+                lambda: (np.asarray(out), np.asarray(pcm_out)))
             MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
             TOTAL_STEPS.inc()
             for s in np.nonzero(mask_np)[0]:

@@ -88,6 +88,33 @@ class BatchedTTSState:
         self._main = jax.jit(self.gen.main_step, donate_argnums=1)
         self._depth_decode = jax.jit(depth_decode, donate_argnums=(2, 3))
 
+        def _reset(gstate, dec_state, mask):
+            fresh = self.gen.init_state(batch_size, gstate["rng"])
+            m_model = jnp.tile(mask, self.gen.model_batch_mult)
+            new_gen = dict(gstate)
+            for key in ("cache", "offsets", "transformer", "text_history",
+                        "hist_pos"):
+                if key not in gstate:
+                    continue
+                mk = m_model if key == "transformer" else mask
+                if key == "transformer":
+                    # the live state may carry precomputed cross-attn K/V
+                    # that a fresh init lacks; those rows are rebuilt by
+                    # _recompute_conditioning, not the masked reset
+                    cur = dict(gstate[key])
+                    sub = {k2: cur[k2] for k2 in fresh[key]}
+                    cur.update(masked_reset(sub, fresh[key], mk))
+                    new_gen[key] = cur
+                else:
+                    new_gen[key] = masked_reset(gstate[key], fresh[key], mk)
+            dec_state = masked_reset(
+                dec_state, mimi.init_decode_state(batch_size), mask)
+            return new_gen, dec_state
+
+        # jitted + donated per-slot reset: avoids materializing a second
+        # full KV cache next to the live one (OOM at max batch otherwise)
+        self._reset = jax.jit(_reset, donate_argnums=(0, 1))
+
     # ----------------------------------------------------------- slot mgmt
     async def acquire_slot(self) -> int | None:
         async with self.lock:
@@ -109,28 +136,8 @@ class BatchedTTSState:
     def reset_slot(self, b: int):
         mask = np.zeros((self.batch_size,), bool)
         mask[b] = True
-        m = jnp.asarray(mask)
-        self.dec_state = masked_reset(
-            self.dec_state, self.tts.mimi.init_decode_state(self.batch_size), m)
-        fresh = self.gen.init_state(self.batch_size, self.gstate["rng"])
-        new_gen = dict(self.gstate)
-        m_model = jnp.tile(m, self.gen.model_batch_mult)
-        for key in ("cache", "offsets", "transformer", "text_history",
-                    "hist_pos"):
-            if key not in self.gstate:
-                continue
-            mk = m_model if key == "transformer" else m
-            if key == "transformer":
-                # the live state may carry precomputed cross-attn K/V that a
-                # fresh init lacks; those rows are rebuilt by
-                # _recompute_conditioning, not the masked reset
-                cur = dict(self.gstate[key])
-                sub = {k2: cur[k2] for k2 in fresh[key]}
-                cur.update(masked_reset(sub, fresh[key], mk))
-                new_gen[key] = cur
-            else:
-                new_gen[key] = masked_reset(self.gstate[key], fresh[key], mk)
-        self.gstate = new_gen
+        self.gstate, self.dec_state = self._reset(
+            self.gstate, self.dec_state, jnp.asarray(mask))
         if self.slot_attrs[b] is not None:
             # clear the departed session's voice rows so a new voiceless
             # session doesn't attend to them

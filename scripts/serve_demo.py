@@ -1,0 +1,121 @@
+"""End-to-end batched serving demo on the real chip: 7B (zeros weights,
+int8 w / int8 KV / ctx 3000), B=8 concurrent ws clients streaming real-time
+opus audio through the full serve stack (aiohttp ws + ogg-opus + batched
+jitted frame loop).  Reports per-step model times and per-client audio
+throughput."""
+import asyncio
+import json
+import time
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moshi_tpu.models.lm import LMModel
+from moshi_tpu.models.loaders import lm_config_v0_1
+from moshi_tpu.models.mimi import MimiModel, mimi_v0_1_config
+from moshi_tpu.utils.quantize import quantize_lm_params
+from moshi_tpu.serve.batched_moshi import BatchedMoshiState, handle_chat
+from moshi_tpu.serve.metrics import MODEL_STEP_DURATION, TOTAL_STEPS
+
+B = 8
+SECONDS = 16
+FRAME = 1920
+
+config = replace(lm_config_v0_1(), kv_cache_dtype="int8", context=3000)
+lm = LMModel(config)
+shapes = jax.eval_shape(
+    lambda k: quantize_lm_params(lm.init_params(k, jnp.bfloat16), mode="int8"),
+    jax.random.PRNGKey(0))
+lm_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+mimi = MimiModel(mimi_v0_1_config(num_codebooks=config.dep_q))
+mshapes = jax.eval_shape(lambda k: mimi.init_params(k, jnp.float32),
+                         jax.random.PRNGKey(0))
+mimi_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), mshapes)
+
+print("building state + warmup...", flush=True)
+state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None, B,
+                          jax.random.PRNGKey(0))
+t0 = time.time()
+state.warmup()
+print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
+
+
+async def client_session(client, idx, results):
+    from aiohttp import WSMsgType
+    from moshi_tpu import moshi_native
+    ws = await client.ws_connect("/api/chat")
+    hs = await ws.receive_bytes()
+    assert hs == b"\x00"
+    writer = moshi_native.OpusStreamWriter(24000)
+    reader = moshi_native.OpusStreamReader(24000)
+    rs = np.random.RandomState(idx)
+    sent = 0
+    got_samples = 0
+    t_start = time.perf_counter()
+    n_frames = SECONDS * 1000 // 80
+
+    async def recv():
+        nonlocal got_samples
+        while True:
+            try:
+                m = await ws.receive(timeout=5)
+            except asyncio.TimeoutError:
+                return
+            if m.type != WSMsgType.BINARY:
+                return
+            if m.data[:1] == b"\x01":
+                pcm = reader.append_bytes(m.data[1:])
+                got_samples += np.frombuffer(pcm, np.float32).size
+
+    recv_task = asyncio.create_task(recv())
+    for i in range(n_frames):
+        target = t_start + i * 0.080
+        delay = target - time.perf_counter()
+        if delay > 0:
+            await asyncio.sleep(delay)
+        frame = (rs.randn(FRAME) * 0.05).astype(np.float32)
+        data = writer.append_pcm(frame)
+        if data:
+            await ws.send_bytes(b"\x01" + data)
+        sent += 1
+    await asyncio.sleep(1.5)  # drain
+    recv_task.cancel()
+    await ws.close()
+    wall = time.perf_counter() - t_start
+    results[idx] = {"frames_sent": sent, "audio_s_received":
+                    round(got_samples / 24000, 2), "wall_s": round(wall, 2)}
+
+
+async def main():
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    app = web.Application()
+    app.router.add_get("/api/chat", lambda r: handle_chat(r, state))
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    loop_task = asyncio.create_task(state.run_loop())
+    results = {}
+    try:
+        await asyncio.gather(*[client_session(client, i, results)
+                               for i in range(B)])
+    finally:
+        loop_task.cancel()
+        await client.close()
+
+    h = MODEL_STEP_DURATION
+    summary = {
+        "clients": B,
+        "seconds_streamed": SECONDS,
+        "total_model_steps": TOTAL_STEPS.value,
+        "per_client": results,
+        "step_count": h.n,
+        "step_mean_ms": round(1000 * h.total / max(h.n, 1), 2),
+        "step_buckets_ms": {str(int(b * 1000)): c for b, c in
+                            zip(h.buckets, np.cumsum(h.counts[:-1]).tolist())},
+    }
+    print("RESULT " + json.dumps(summary))
+
+
+asyncio.run(main())
