@@ -117,9 +117,11 @@ class BatchedAsrState:
                 chunk[s, 0] = self.slot_pcm[s][:fs]
                 self.slot_pcm[s] = self.slot_pcm[s][fs:]
             t0 = time.perf_counter()
-            msgs, self.state = self.asr.step_pcm(
-                self.mimi_params, self.lm_params, self.state, chunk,
-                exec_mask=mask)
+            # step on a worker thread: the device syncs inside step_pcm would
+            # otherwise block the event loop (and every ws client)
+            msgs, self.state = await asyncio.to_thread(
+                self.asr.step_pcm, self.mimi_params, self.lm_params,
+                self.state, chunk, mask)
             MODEL_STEP_DURATION.observe(time.perf_counter() - t0)
             TOTAL_STEPS.inc()
             for m in msgs:

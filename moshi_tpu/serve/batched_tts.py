@@ -284,7 +284,8 @@ class BatchedTTSState:
                 await asyncio.sleep(0.005)
                 continue
             t0 = time.time()
-            self.step_batch(active)
+            # step on a worker thread so device syncs don't block the loop
+            await asyncio.to_thread(self.step_batch, active)
             MODEL_STEP_DURATION.observe(time.time() - t0)
             await asyncio.sleep(0)
 

@@ -107,7 +107,16 @@ def test_batched_asr_ws_end_to_end():
                 await ws.send_bytes(msgpack.packb(
                     {"type": "Audio", "pcm": pcm.tolist()}))
                 await drain(0.1)
-            await drain(0.5)
+            # the batch step now runs on a worker thread (non-blocking
+            # event loop), so the first jit compile can outlast the short
+            # drains above — wait until the expected messages arrive
+            deadline = asyncio.get_event_loop().time() + 60
+            while asyncio.get_event_loop().time() < deadline:
+                await drain(0.5)
+                kinds_now = [e["type"] for e in got]
+                if "Step" in kinds_now and \
+                        {"type": "Marker", "id": 42} in got:
+                    break
             await ws.close()
 
             kinds = [e["type"] for e in got]
