@@ -90,9 +90,14 @@ def run_combo(batch: int, kv: str, context: int = 3000,
 
 def sweep():
     results = []
-    for B in (1, 2, 4, 8, 16):
-        for kv in ("model", "int8"):
-            cmd = [sys.executable, __file__, str(B), kv]
+    combos = ([(B, kv, 3000, "int8") for B in (1, 2, 4, 8, 16)
+               for kv in ("model", "int8")]
+              + [(1, "model", 3000, "int4"), (8, "int8", 3000, "int4"),
+                 (16, "int8", 2000, "int4"), (32, "int8", 750, "int4"),
+                 (32, "int8", 750, "int8")])
+    for B, kv, ctx, wq in combos:
+        if True:
+            cmd = [sys.executable, __file__, str(B), kv, str(ctx), wq]
             import os
             env = dict(os.environ)
             # keep any plugin paths (e.g. the axon TPU plugin's sitecustomize)
@@ -109,10 +114,12 @@ def sweep():
                 else:
                     err = (out.stderr or "").strip().splitlines()
                     print(json.dumps({"batch": B, "kv_cache": kv,
+                                      "weights": wq, "context": ctx,
                                       "error": err[-1] if err else "no output"}),
                           flush=True)
             except subprocess.TimeoutExpired:
                 print(json.dumps({"batch": B, "kv_cache": kv,
+                                  "weights": wq, "context": ctx,
                                   "error": "timeout"}), flush=True)
     return results
 
