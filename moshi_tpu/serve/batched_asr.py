@@ -56,6 +56,14 @@ class BatchedAsrState:
         self.slot_pcm: dict[int, np.ndarray] = {}
         # slot -> [(due_step, marker_id)], FIFO per slot (batched_asr.rs:23-41)
         self.slot_markers: dict[int, list] = {}
+        # Slots waiting for their reset.  `self.state` is donated to the jits
+        # inside `step_pcm`, which runs on a worker thread — resetting from
+        # the event-loop thread mid-step would either hit a deleted donated
+        # buffer or be clobbered by the step's rebind.  All state mutation
+        # therefore happens in `_run_loop`, which drains this list between
+        # frames; a slot is never stepped before its reset applies because
+        # resets drain before the frame's exec mask is built.
+        self.pending_resets: list[int] = []
         self.frame_size = asr.mimi.frame_size
         self.lock = asyncio.Lock()
 
@@ -67,7 +75,7 @@ class BatchedAsrState:
             self.slot_queues[slot] = asyncio.Queue()
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
             self.slot_markers[slot] = []
-            self.state = self.asr.reset_batch_idx(self.state, slot)
+            self.pending_resets.append(slot)
             OPEN_CHANNELS.inc()
             return slot
 
@@ -106,6 +114,11 @@ class BatchedAsrState:
         fs = self.frame_size
         B = self.batch_size
         while True:
+            # apply queued per-slot resets first: no step is in flight here
+            # (the to_thread below was awaited), so donating self.state is safe
+            while self.pending_resets:
+                slot = self.pending_resets.pop(0)
+                self.state = self.asr.reset_batch_idx(self.state, slot)
             ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
             if not ready:
                 await asyncio.sleep(0.005)

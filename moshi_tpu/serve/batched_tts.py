@@ -69,6 +69,14 @@ class BatchedTTSState:
         self._valid_after = max(self.gen.max_delay, tts.delay_steps)
 
         self.slots: list[_TtsSlot | None] = [None] * B
+        # gstate/dec_state are donated to the jits inside step_batch, which
+        # runs on a worker thread; resets and voice updates from the
+        # event-loop thread would race on the same donated buffers (deleted
+        # arrays, or a lost reset rebound away by the step).  They are queued
+        # here and applied by run_loop between frames instead.  A slot stays
+        # in `unready` (skipped by steppable) until its reset has applied.
+        self.pending_ops: list[tuple] = []
+        self.unready: set[int] = set()
         self.lock = asyncio.Lock()
 
         mimi, n_q = tts.mimi, tts.n_q
@@ -120,7 +128,8 @@ class BatchedTTSState:
         async with self.lock:
             for b in range(self.batch_size):
                 if self.slots[b] is None:
-                    self.reset_slot(b)
+                    self.unready.add(b)
+                    self.pending_ops.append(("reset", b))
                     self.slots[b] = _TtsSlot(self.machine)
                     OPEN_CHANNELS.inc()
                     CONNECT_COUNT.inc()
@@ -132,6 +141,21 @@ class BatchedTTSState:
             if self.slots[b] is not None:
                 self.slots[b] = None
                 OPEN_CHANNELS.dec()
+
+    def apply_pending_ops(self):
+        """Drain queued slot resets / voice updates.  Called from run_loop
+        between frames (no step in flight) — the only place gstate/dec_state
+        may be mutated besides step_batch itself."""
+        while self.pending_ops:
+            op = self.pending_ops.pop(0)
+            if op[0] == "reset":
+                self.reset_slot(op[1])
+                self.unready.discard(op[1])
+            elif op[0] == "voice":
+                _, b, emb = op
+                self.slot_attrs[b] = self.tts.make_condition_attributes(
+                    [emb], None)
+                self._recompute_conditioning()
 
     def reset_slot(self, b: int):
         mask = np.zeros((self.batch_size,), bool)
@@ -147,13 +171,13 @@ class BatchedTTSState:
     # ------------------------------------------------------------- voices
     def set_slot_voice(self, b: int, voice_embedding: np.ndarray):
         """Per-slot speaker conditioning [T, D] (all slots must use the same
-        embedding length, as `TensorCondition.cat` batches them)."""
+        embedding length, as `TensorCondition.cat` batches them).  Applied
+        asynchronously by the step loop (see pending_ops)."""
         tts = self.tts
         if tts.condition_provider is None or self.cp_params is None:
             return
-        self.slot_attrs[b] = tts.make_condition_attributes(
-            [np.asarray(voice_embedding, np.float32)[None]], None)
-        self._recompute_conditioning()
+        self.pending_ops.append(
+            ("voice", b, np.asarray(voice_embedding, np.float32)[None]))
 
     def _recompute_conditioning(self):
         from ..conditioners import dropout_all_conditions
@@ -161,6 +185,13 @@ class BatchedTTSState:
         if (tts.condition_provider is None or tts.fuser is None
                 or all(a is None for a in self.slot_attrs)):
             self.condition_sum = None
+            # strip stale cross-attn K/V rows: transformer.step cross-attends
+            # whenever k_cross is present, so leaving the departed speaker's
+            # rows would condition new voiceless sessions on them
+            if "k_cross" in self.gstate.get("transformer", {}):
+                tr = {k2: v2 for k2, v2 in self.gstate["transformer"].items()
+                      if k2 not in ("k_cross", "v_cross")}
+                self.gstate = {**self.gstate, "transformer": tr}
             return
         template = next(a for a in self.slot_attrs if a is not None)
         null = dropout_all_conditions([template])[0]
@@ -211,9 +242,12 @@ class BatchedTTSState:
                 + self.tts.final_padding)
 
     def steppable(self) -> list[int]:
+        # steppable() is only ever called between steps by the thread driving
+        # the loop, so it is the safe point to drain queued state mutations
+        self.apply_pending_ops()
         out = []
         for b, slot in enumerate(self.slots):
-            if slot is None or slot.done:
+            if slot is None or slot.done or b in self.unready:
                 continue
             if self._finished(slot):
                 slot.done = True
@@ -279,6 +313,8 @@ class BatchedTTSState:
     async def run_loop(self):
         import time
         while True:
+            # steppable() drains pending resets/voice updates first: no step
+            # is in flight here, so mutating the donated states is safe
             active = self.steppable()
             if not active:
                 await asyncio.sleep(0.005)
@@ -322,7 +358,16 @@ async def handle_batched_tts_socket(request, state: BatchedTTSState):
     try:
         q = state.slots[slot].queue
         while True:
-            kind, payload = await q.get()
+            # race the queue against the receiver: if the client disconnects
+            # while its slot is starved (queue never fed again), q.get()
+            # alone would hang forever and leak the slot
+            q_task = asyncio.ensure_future(q.get())
+            done, _ = await asyncio.wait(
+                {q_task, recv_task}, return_when=asyncio.FIRST_COMPLETED)
+            if q_task not in done:
+                q_task.cancel()
+                break
+            kind, payload = q_task.result()
             if kind == "eos":
                 await ws.send_str(json.dumps({"type": "Eos"}))
                 break

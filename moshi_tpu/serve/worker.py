@@ -182,12 +182,13 @@ def build_module(name: str, mcfg: dict, seed: int):
     if mtype == "tts":
         from ..run_tts import build_tts
         from .tts_ws import TTSStreamer, handle_tts_socket
-        tts, lm_params, mimi_params, _ = build_tts(
+        tts, lm_params, mimi_params, cp_params = build_tts(
             ckpt, temp=mcfg.get("temp", 0.6),
             cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
 
         def make_streamer():
-            return TTSStreamer(tts, lm_params, mimi_params, rng)
+            return TTSStreamer(tts, lm_params, mimi_params, rng,
+                               condition_params=cp_params)
 
         return route, (lambda req: handle_tts_socket(req, make_streamer)), \
             None, {"type": mtype}
@@ -195,11 +196,12 @@ def build_module(name: str, mcfg: dict, seed: int):
     if mtype == "batched_tts":
         from ..run_tts import build_tts
         from .batched_tts import BatchedTTSState, handle_batched_tts_socket
-        tts, lm_params, mimi_params, _ = build_tts(
+        tts, lm_params, mimi_params, cp_params = build_tts(
             ckpt, temp=mcfg.get("temp", 0.6),
             cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
         state = BatchedTTSState(tts, lm_params, mimi_params,
-                                mcfg.get("batch_size", 8), rng)
+                                mcfg.get("batch_size", 8), rng,
+                                condition_params=cp_params)
 
         async def startup():
             return asyncio.create_task(state.run_loop())

@@ -67,7 +67,10 @@ def import_model(in_path: Path, out_dir: Path, num_heads: int = 20,
     else:
         hidden_scale = 3.0 * hidden / (2.0 * dim)
         if int(hidden_scale * dim) == 4 * dim:
-            hidden_scale += 1e-3 / dim
+            # dodge gating_hidden_dim's ff == 4*dim special case: bump ff to
+            # 4*dim + 1 (2*(4d+1)//3 still equals `hidden`).  +1.5 so the
+            # float round-trip int(scale*dim) lands on 4d+1, not back on 4d.
+            hidden_scale = (4 * dim + 1.5) / dim
     config = {
         "dim": dim, "text_card": vocab, "n_q": 0, "dep_q": 0, "card": 0,
         "num_heads": num_heads, "num_layers": n_layers,

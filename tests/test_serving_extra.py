@@ -368,3 +368,53 @@ def test_tts_voice_conditioning_streamers():
         .new_event_loop().run_until_complete(drive())
     np.testing.assert_allclose(got_a, ref_a, atol=1e-5)
     np.testing.assert_allclose(got_b, ref_b, atol=1e-5)
+
+
+def test_batched_tts_voice_cleared_on_departure():
+    """When the last voiced slot disconnects, the stale cross-attn K/V rows
+    must be stripped from the live state so a new voiceless session does not
+    cross-attend to the departed speaker (advisor finding r2)."""
+    from moshi_tpu.serve.batched_tts import BatchedTTSState
+
+    tts, lm_params, mimi_params, cp_params = _tiny_tts_voiced()
+    rs = np.random.RandomState(0)
+    voice = rs.randn(4, 6).astype(np.float32)
+
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(2),
+                         condition_params=cp_params)
+
+    async def drive():
+        b = await st.acquire_slot()
+        st.set_slot_voice(b, voice)
+        st.steppable()  # drains pending ops (reset + voice)
+        assert "k_cross" in st.gstate["transformer"]
+        await st.release_slot(b)
+        b2 = await st.acquire_slot()
+        st.steppable()  # drains the reset, which clears the departed voice
+        assert "k_cross" not in st.gstate["transformer"]
+        return b2
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(drive())
+
+
+def test_batched_tts_ops_are_queued_not_immediate():
+    """acquire_slot / set_slot_voice must not mutate the donated device state
+    directly (they can race an in-flight worker-thread step); mutations apply
+    at the next steppable() call."""
+    from moshi_tpu.serve.batched_tts import BatchedTTSState
+
+    tts, lm_params, mimi_params, cp_params = _tiny_tts_voiced()
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(2),
+                         condition_params=cp_params)
+
+    async def drive():
+        before = st.gstate
+        b = await st.acquire_slot()
+        assert st.gstate is before, "reset must be deferred to the step loop"
+        assert b in st.unready and st.pending_ops
+        st.steppable()
+        assert b not in st.unready and not st.pending_ops
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(drive())
