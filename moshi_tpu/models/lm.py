@@ -60,7 +60,7 @@ class LmConfig:
     cross_attention_norm: str = "layer_norm"
     cross_attention_kv_dim: int | None = None
     shared_cross_attn: bool = False
-    kv_cache_dtype: str = "model"  # model | int8 (TPU-native extension)
+    kv_cache_dtype: str = "model"  # model | int8 | int4 (TPU-native extension)
     attention_int8_qk: bool = False  # int8 KV: native int8 QK^T scores
     delays: tuple[int, ...] = (0,) * 9
     existing_text_padding_id: int = 3

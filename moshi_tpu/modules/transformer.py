@@ -122,8 +122,13 @@ class TransformerConfig:
     shared_cross_attn: bool = False
     # "int8" stores the ring KV cache quantized per (position, head) row,
     # halving KV HBM footprint and attention bandwidth (a TPU-native
-    # extension; the reference keeps KV in model dtype).
-    kv_cache_dtype: str = "model"  # model | int8
+    # extension; the reference keeps KV in model dtype).  "int4" packs two
+    # positions per byte (position-pair packing): quarter footprint, read by
+    # a fused Pallas flash-decode kernel (ops/int4_attention.py) that
+    # reinterprets packed blocks as int4 via `pltpu.bitcast` and feeds the
+    # MXU directly — XLA alone cannot read nibble-packed KV at speed (the
+    # s4 convert does not fuse; measured 75 GB/s vs 403 for int8).
+    kv_cache_dtype: str = "model"  # model | int8 | int4
     # With int8 KV, also quantize the query per row and compute the QK^T
     # scores as a native int8 x int8 MXU dot (int32 accumulate) instead of
     # dequantizing K to bf16 — removes the convert from the score matmul's
@@ -293,7 +298,23 @@ class StreamingTransformer:
         cap = capacity if capacity is not None else c.kv_capacity
         shape = (c.num_layers, batch_size, cap, c.num_kv_heads, c.head_dim)
         state = {"offset": jnp.zeros((batch_size,), jnp.int32)}
-        if c.kv_cache_dtype == "int8":
+        if c.kv_cache_dtype == "int4":
+            # Nibble-packed cache in the ops/int4_attention.py layouts
+            # (chosen so both kernel dots are Mosaic's fast int4-RHS form):
+            # K [L, B, hd/2, cap] channel-pair packed position-major,
+            # V [L, B, cap/2, hd] position-pair packed, scales transposed
+            # [L, B, H, cap].
+            assert cap % 2 == 0, "int4 KV packs position pairs"
+            assert c.head_dim % 2 == 0
+            hd = c.num_kv_heads * c.head_dim
+            lead = shape[:2]  # (L, B)
+            state.update(
+                k=jnp.zeros(lead + (hd // 2, cap), jnp.int8),
+                v=jnp.zeros(lead + (cap // 2, hd), jnp.int8),
+                k_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
+                v_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
+            )
+        elif c.kv_cache_dtype == "int8":
             state.update(
                 k=jnp.zeros(shape, jnp.int8),
                 v=jnp.zeros(shape, jnp.int8),
@@ -360,12 +381,30 @@ class StreamingTransformer:
         broadcastable [B, 1, T, S].
 
         k_scale/v_scale: optional [B, S, Hkv, 1] per-row dequant scales for
-        int8 KV.  The per-row scale commutes with the contraction, so it is
-        applied to the attention scores/weights (length-S vectors) instead of
-        dequantizing the cache (which would materialize a bf16 copy in HBM).
+        int8/int4 KV.  The per-row scale commutes with the contraction, so it
+        is applied to the attention scores/weights (length-S vectors) instead
+        of dequantizing the cache (which would materialize a bf16 copy in
+        HBM).  With int4 KV, k/v arrive nibble-packed [B, S, Hkv, D/2] int8
+        and `unpack` reinterprets them as [B, S, Hkv, D] int4 via bitcast —
+        still a single pass over the packed bytes per dot.
         """
         c = self.config
         compute = q.dtype
+        if k_scale is not None and c.kv_cache_dtype == "int4":
+            # k: [B, hd/2, cap] channel-pair packed; v: [B, cap/2, hd]
+            # position-pair packed; scales [B, H, cap]
+            from ..ops.q4matmul import use_pallas
+            if use_pallas() and q.shape[2] == 1 and c.kv_repeat == 1 \
+                    and mask is not None:
+                from ..ops.int4_attention import decode_attention_int4
+                out = decode_attention_int4(q, k, v, k_scale, v_scale,
+                                            mask[:, 0, 0])
+                return out.astype(compute)
+            # XLA fallback (CPU tests, chunked steps): materialized unpack
+            k = _unpack_int4_channel_major(k, c.num_kv_heads)
+            v = _unpack_int4_pp(v, c.num_kv_heads)
+            k_scale = k_scale.transpose(0, 2, 1)[..., None]  # [B, cap, H, 1]
+            v_scale = v_scale.transpose(0, 2, 1)[..., None]
         if c.kv_repeat > 1:
             k = jnp.repeat(k, c.kv_repeat, axis=2)
             v = jnp.repeat(v, c.kv_repeat, axis=2)
@@ -373,7 +412,7 @@ class StreamingTransformer:
                 k_scale = jnp.repeat(k_scale, c.kv_repeat, axis=2)
                 v_scale = jnp.repeat(v_scale, c.kv_repeat, axis=2)
         scale = 1.0 / math.sqrt(c.head_dim)
-        if k_scale is not None and c.attention_int8_qk:
+        if k_scale is not None and c.attention_int8_qk and c.kv_cache_dtype == "int8":
             # native int8 x int8 MXU scores: quantize q per (b, h, t) row
             qf = q.astype(jnp.float32)
             qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
@@ -540,7 +579,10 @@ class StreamingTransformer:
         c = self.config
         B, T, _ = x.shape
         offset = state["offset"]
-        cap = state["k"].shape[2]
+        if c.kv_cache_dtype == "int4":
+            cap = state["k_scale"].shape[-1]
+        else:
+            cap = state["k"].shape[2]
         x = self._pos_embed(x, offset)
 
         widx = None
@@ -568,7 +610,9 @@ class StreamingTransformer:
         # [B, T, H, D] rows instead of copying the whole [L, B, cap, H, D]
         # stack to fresh scan outputs (which costs ~2x cache size in HBM
         # traffic per frame on the 7B).
-        int8_kv = c.kv_cache_dtype == "int8"
+        int8_kv = c.kv_cache_dtype in ("int8", "int4")
+        int4_kv = c.kv_cache_dtype == "int4"
+        quant_rows = _quant_rows_int4 if int4_kv else _quant_rows
 
         def body(carry, xs):
             if int8_kv:
@@ -587,7 +631,27 @@ class StreamingTransformer:
                 nonlocal k_all, v_all
                 if int8_kv:
                     nonlocal ks_all, vs_all
-                    (kq, ks), (vq, vs) = _quant_rows(kk), _quant_rows(vv)
+                    (kq, ks), (vq, vs) = quant_rows(kk), quant_rows(vv)
+                    if int4_kv:
+                        # K: channel-pair packed column write (a position's
+                        # channels live in one [hd/2] column — no RMW);
+                        # V: nibble read-modify-write (the paired position's
+                        # nibble is preserved); sequential over T so writes
+                        # to a shared byte row compose
+                        kqf = kq.reshape(B, T, -1)
+                        vqf = vq.reshape(B, T, -1)
+                        for t in range(T):
+                            pos = write_idx[:, t]
+                            kcol = ((kqf[:, t, 1::2] << 4)
+                                    | (kqf[:, t, 0::2] & jnp.int8(15)))
+                            k_all = k_all.at[l, barange, :, pos].set(kcol)
+                            v_all = _rmw_nibble(v_all, l, barange, pos,
+                                                vqf[:, t])
+                            ks_all = ks_all.at[l, barange, :, pos].set(
+                                ks[:, t, :, 0].astype(ks_all.dtype))
+                            vs_all = vs_all.at[l, barange, :, pos].set(
+                                vs[:, t, :, 0].astype(vs_all.dtype))
+                        return k_all[l], v_all[l], ks_all[l], vs_all[l]
                     k_all = k_all.at[l, barange[:, None], write_idx].set(kq)
                     v_all = v_all.at[l, barange[:, None], write_idx].set(vq)
                     ks_all = ks_all.at[l, barange[:, None], write_idx].set(
@@ -632,6 +696,51 @@ def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _quant_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int4 quantization per (batch, time, head) row of
+    [B, T, H, D]: values in [-7, 7] stored in int8 (packing happens at the
+    cache write, `_rmw_nibble`), scale [B, T, H, 1] f32."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int8)
+    return q, scale
+
+
+def _rmw_nibble(all_: jax.Array, l, barange: jax.Array, pos: jax.Array,
+                vals: jax.Array) -> jax.Array:
+    """Write int4 values [B, H*D] for one position into the position-pair
+    packed cache [L, B, cap/2, H*D]: position 2r is the low nibble of byte
+    row r, 2r+1 the high nibble; the paired position's nibble is preserved.
+    Writes are unconditional like the int8 scatter (frozen slots' rows are
+    masked out via ring positions, and get rewritten on their next step)."""
+    row = pos // 2
+    old = all_[l, barange, row]                                # [B, H*D]
+    lo = (old & jnp.int8(-16)) | (vals & jnp.int8(15))
+    hi = (vals << 4) | (old & jnp.int8(15))
+    byte = jnp.where((pos % 2 == 0)[:, None], lo, hi)
+    return all_.at[l, barange, row].set(byte)
+
+
+def _unpack_int4_pp(x: jax.Array, heads: int) -> jax.Array:
+    """[B, cap/2, H*D] position-pair packed int8 -> [B, cap, H, D] int4.
+    XLA fallback for CPU/tests; the TPU path never materializes this
+    (ops/int4_attention.py reads the packed bytes directly)."""
+    u = lax.bitcast_convert_type(x, jnp.int4)      # [B, cap/2, H*D, 2]
+    u = u.transpose(0, 1, 3, 2)                    # [B, cap/2, 2, H*D]
+    B, c2, _, hd = u.shape
+    return u.reshape(B, c2 * 2, heads, hd // heads)
+
+
+def _unpack_int4_channel_major(x: jax.Array, heads: int) -> jax.Array:
+    """[B, hd/2, cap] channel-pair packed int8 -> [B, cap, H, D] int4
+    (XLA fallback for the K cache layout)."""
+    u = lax.bitcast_convert_type(x, jnp.int4)      # [B, hd/2, cap, 2]
+    u = u.transpose(0, 2, 1, 3)                    # [B, cap, hd/2, 2]
+    B, cap, h2, _ = u.shape
+    return u.reshape(B, cap, heads, 2 * h2 // heads)
 
 
 def _stack_norm_init(norm, L: int, dtype) -> dict:

@@ -41,33 +41,86 @@ def lm_param_spec(params, mesh: Mesh):
     - mlp.linear_in [L, W, d, 2h]   -> shard 2h
     - mlp.linear_out[L, W, h, d]    -> shard h
     - embeddings / vocab heads      -> shard the embedding (last) axis
+
+    Quantized / adapter leaves (`QTensor`, `QTensor4`, `LoRAWeight`) are
+    handled explicitly: the col/row decision is made on the LOGICAL weight
+    shape, then expanded onto each child with its own trailing axes (e.g. a
+    QTensor's per-output-channel scale [..., 1, out] shards its last axis
+    under column parallelism but stays replicated under row parallelism —
+    the deployments that actually need 2+ chips are exactly the int8/7B
+    ones, so these leaves must not fall through to a mis-specced default).
     """
+    from ..utils.quantize import QTensor, QTensor4
+    from ..models.lora import LoRAWeight
     tp = mesh.shape["tp"]
 
-    def spec_for(path: tuple, x) -> P:
-        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        joined = "/".join(str(n) for n in names)
-        if x.ndim == 0:
-            return P()
-        last = x.shape[-1]
-        second = x.shape[-2] if x.ndim >= 2 else 1
+    def decide(joined: str, shape: tuple) -> str | None:
+        """Column/row/None from the param name + logical shape."""
+        if len(shape) < 2:
+            return None
+        last, second = shape[-1], shape[-2]
+        col = last % tp == 0
+        row = second % tp == 0
         if "attn" in joined and joined.endswith("in_proj"):
-            return P(*(None,) * (x.ndim - 1), "tp") if last % tp == 0 else P()
+            return "col" if col else None
         if "attn" in joined and joined.endswith("out_proj"):
-            return P(*(None,) * (x.ndim - 2), "tp", None) if second % tp == 0 else P()
-        if joined.endswith("mlp/linear_in"):
-            return P(*(None,) * (x.ndim - 1), "tp") if last % tp == 0 else P()
-        if joined.endswith("mlp/linear_out"):
-            return P(*(None,) * (x.ndim - 2), "tp", None) if second % tp == 0 else P()
-        if "linear1" in joined:
-            return P(*(None,) * (x.ndim - 1), "tp") if last % tp == 0 else P()
-        if "linear2" in joined:
-            return P(*(None,) * (x.ndim - 2), "tp", None) if second % tp == 0 else P()
-        if ("emb" in joined or "text_linear" in joined or "linears" in joined) and x.ndim >= 2:
-            return P(*(None,) * (x.ndim - 1), "tp") if last % tp == 0 else P()
+            return "row" if row else None
+        if joined.endswith("mlp/linear_in") or "linear1" in joined:
+            return "col" if col else None
+        if joined.endswith("mlp/linear_out") or "linear2" in joined:
+            return "row" if row else None
+        if "emb" in joined or "text_linear" in joined or "linears" in joined:
+            return "col" if col else None
+        return None
+
+    def col_spec(ndim):  # shard the last axis
+        return P(*(None,) * (ndim - 1), "tp")
+
+    def row_spec(ndim, axis_from_end=2):  # shard `axis_from_end` from the end
+        return P(*(None,) * (ndim - axis_from_end), "tp",
+                 *(None,) * (axis_from_end - 1))
+
+    def expand(kind: str | None, x):
+        """Per-child specs for a (possibly wrapped) weight leaf."""
+        if isinstance(x, LoRAWeight):
+            # a: [.., din, rank] follows the row sharding (its din contracts
+            # against the row-sharded input); b: [.., rank, dout] follows the
+            # column sharding.  The other adapter half stays replicated (rank
+            # is tiny).
+            a_spec = row_spec(x.a.ndim) if kind == "row" and x.a.shape[-2] % tp == 0 else P()
+            b_spec = col_spec(x.b.ndim) if kind == "col" and x.b.shape[-1] % tp == 0 else P()
+            return LoRAWeight(expand(kind, x.base), a_spec, b_spec, x.scaling)
+        if isinstance(x, QTensor):
+            # q: [.., in, out]; scale: [.., 1, out]
+            if kind == "col":
+                return QTensor(col_spec(x.q.ndim), col_spec(x.scale.ndim))
+            if kind == "row":
+                return QTensor(row_spec(x.q.ndim), P())  # scale din-axis is 1
+            return QTensor(P(), P())
+        if isinstance(x, QTensor4):
+            # q: [.., in/2, out]; scale: [.., in/gs, 1, out]
+            if kind == "col":
+                return QTensor4(col_spec(x.q.ndim), col_spec(x.scale.ndim))
+            if kind == "row" and x.q.shape[-2] % tp == 0 \
+                    and x.scale.shape[-3] % tp == 0:
+                return QTensor4(row_spec(x.q.ndim), row_spec(x.scale.ndim, 3))
+            return QTensor4(P(), P())
+        if kind == "col":
+            return col_spec(x.ndim)
+        if kind == "row":
+            return row_spec(x.ndim)
         return P()
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    def spec_for(path: tuple, x):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if getattr(x, "ndim", 0) == 0:
+            return P()
+        return expand(decide(joined, tuple(x.shape)), x)
+
+    return jax.tree_util.tree_map_with_path(
+        spec_for, params,
+        is_leaf=lambda x: isinstance(x, (QTensor, QTensor4, LoRAWeight)))
 
 
 def shard_params(params, mesh: Mesh):

@@ -207,7 +207,7 @@ async def handle_chat(request, state: BatchedMoshiState):
         return ws
     reader = moshi_native.OpusStreamReader(state.mimi.sample_rate)
     writer = moshi_native.OpusStreamWriter(state.mimi.sample_rate)
-    await ws.send_bytes(b"\x00")
+    await ws.send_bytes(proto.handshake())
 
     async def sender():
         q = state.slot_queues[slot]

@@ -19,6 +19,20 @@ MT_PCM = 10         # moshi_tpu extension: raw f32le 24 kHz mono frames, both
                     # directions, negotiated via metadata {"raw_pcm": true}
                     # (unknown types are discarded by reference peers)
 
+PROTOCOL_VERSION = 0  # rust/protocol.md:12 "always 0 for now"
+DEFAULT_MODEL_VERSION = 1
+
+
+def handshake(model_version: int = DEFAULT_MODEL_VERSION) -> bytes:
+    """Strict MT-0 handshake: protocol version u32 + model version u32, LE
+    (rust/protocol.md:11-13).  The Python reference server sends a bare
+    b"\\x00" (moshi/moshi/server.py:166); strict rust clients expect the
+    8-byte payload, and clients here accept both forms."""
+    import struct
+    return bytes([MT_HANDSHAKE]) + struct.pack(
+        "<II", PROTOCOL_VERSION, model_version)
+
+
 CTRL_START = 0
 CTRL_END_TURN = 1
 CTRL_PAUSE = 2

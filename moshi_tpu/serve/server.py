@@ -125,7 +125,10 @@ class ServerState:
             opus_reader = moshi_native.OpusStreamReader(self.mimi.sample_rate)
             self.reset()
             self.session_tokens = []
-            await ws.send_bytes(b"\x00")
+            # strict 8-byte handshake payload (rust/protocol.md:11-13);
+            # the bare-b"\x00" Python-reference form is still accepted
+            # by our clients
+            await ws.send_bytes(proto.handshake())
             try:
                 await asyncio.wait_for(
                     self._recv_loop(ws, opus_reader, opus_writer),

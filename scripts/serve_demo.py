@@ -47,7 +47,7 @@ async def client_session(client, idx, results):
     from moshi_tpu import moshi_native
     ws = await client.ws_connect("/api/chat")
     hs = await ws.receive_bytes()
-    assert hs == b"\x00"
+    assert hs[:1] == b"\x00"
     writer = moshi_native.OpusStreamWriter(24000)
     reader = moshi_native.OpusStreamReader(24000)
     rs = np.random.RandomState(idx)

@@ -167,7 +167,7 @@ def test_websocket_server_control_protocol(tiny_checkpoint):
         await client.start_server()
         try:
             ws = await client.ws_connect("/api/chat")
-            assert await ws.receive_bytes() == b"\x00"
+            assert (await ws.receive_bytes())[:1] == b"\x00"
 
             # ping is answered with ping
             await ws.send_bytes(bytes([proto.MT_PING]))
@@ -256,7 +256,7 @@ def test_websocket_server_roundtrip(tiny_checkpoint):
         try:
             ws = await client.ws_connect("/api/chat")
             first = await ws.receive_bytes()
-            assert first == b"\x00"  # handshake
+            assert first[:1] == b"\x00"  # handshake (strict 8-byte payload ok)
 
             writer = moshi_native.OpusStreamWriter(mimi.sample_rate)
             rs = np.random.RandomState(0)
@@ -320,7 +320,7 @@ def test_websocket_server_raw_pcm_extension(tiny_checkpoint):
         await client.start_server()
         try:
             ws = await client.ws_connect("/api/chat")
-            assert await ws.receive_bytes() == b"\x00"
+            assert (await ws.receive_bytes())[:1] == b"\x00"
             await ws.send_bytes(bytes([4]) + json.dumps(
                 {"raw_pcm": True}).encode())
             meta = json.loads((await asyncio.wait_for(
@@ -346,3 +346,15 @@ def test_websocket_server_raw_pcm_extension(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_handshake_strict_payload():
+    """MT-0 handshake carries protocol version u32 + model version u32 LE
+    (rust/protocol.md:11-13)."""
+    import struct
+    from moshi_tpu.serve import protocol as proto
+
+    hs = proto.handshake(model_version=7)
+    assert hs[0] == proto.MT_HANDSHAKE and len(hs) == 9
+    pv, mv = struct.unpack("<II", hs[1:])
+    assert pv == proto.PROTOCOL_VERSION and mv == 7

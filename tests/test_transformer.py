@@ -148,3 +148,97 @@ def test_parity_with_reference(norm, gating, ls):
         ys.append(yt)
     y_s = np.asarray(jnp.concatenate(ys, axis=1))
     np.testing.assert_allclose(y_s, y_ref_s, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_pack_bitcast_roundtrip():
+    """Both int4 cache layouts round-trip exactly: V position-pair nibble
+    RMW writes (paired position's nibble preserved) and K channel-pair
+    packed column writes."""
+    from moshi_tpu.modules.transformer import (
+        _quant_rows_int4, _rmw_nibble, _unpack_int4_pp,
+        _unpack_int4_channel_major)
+
+    B, T, H, D = 2, 6, 4, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D), jnp.float32)
+    q, scale = _quant_rows_int4(x)
+    assert q.shape == (B, T, H, D) and q.dtype == jnp.int8
+    # dequantized rows are within half an int4 step of the input
+    deq = np.asarray(q) * np.asarray(scale)
+    assert np.all(np.abs(deq - np.asarray(x)) <= 0.5 * np.asarray(scale) + 1e-6)
+
+    cap = 8
+    barange = jnp.arange(B)
+    qf = q.reshape(B, T, -1)
+
+    # V layout: [1, B, cap/2, hd] position pairs via RMW
+    vcache = jnp.zeros((1, B, cap // 2, H * D), jnp.int8)
+    # K layout: [1, B, hd/2, cap] channel pairs via column writes
+    kcache = jnp.zeros((1, B, H * D // 2, cap), jnp.int8)
+    for t in range(T):
+        pos = jnp.full((B,), t, jnp.int32)
+        vcache = _rmw_nibble(vcache, 0, barange, pos, qf[:, t])
+        kcol = (qf[:, t, 1::2] << 4) | (qf[:, t, 0::2] & jnp.int8(15))
+        kcache = kcache.at[0, barange, :, pos].set(kcol)
+    got_v = np.asarray(_unpack_int4_pp(vcache[0], heads=H).astype(jnp.int32))
+    got_k = np.asarray(
+        _unpack_int4_channel_major(kcache[0], heads=H).astype(jnp.int32))
+    np.testing.assert_array_equal(got_v[:, :T], np.asarray(q, np.int32))
+    np.testing.assert_array_equal(got_k[:, :T], np.asarray(q, np.int32))
+    assert (got_v[:, T:] == 0).all() and (got_k[:, T:] == 0).all()
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
+def test_quantized_kv_close_to_exact(kv_dtype):
+    """Streaming with a quantized ring KV cache tracks the exact-KV stream
+    closely (int8 tighter than int4), including across ring wraparound."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, kv_cache_dtype=kv_dtype)
+    tr_ref = StreamingTransformer(CFG)
+    tr_q = StreamingTransformer(cfg)
+    params = tr_ref.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 2, 40  # crosses the context-32 ring wraparound
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, CFG.d_model)) * 0.5
+
+    s_ref = tr_ref.init_state(B, dtype=jnp.float32)
+    s_q = tr_q.init_state(B, dtype=jnp.float32)
+    errs = []
+    for t in range(T):
+        y_ref, s_ref = tr_ref.step(params, s_ref, x[:, t:t + 1])
+        y_q, s_q = tr_q.step(params, s_q, x[:, t:t + 1])
+        a, b = np.asarray(y_ref), np.asarray(y_q)
+        errs.append(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+    tol = 0.05 if kv_dtype == "int8" else 0.25
+    assert max(errs) < tol, (kv_dtype, max(errs))
+
+
+def test_int4_kv_greedy_stream_agreement():
+    """LMGen greedy token streams with an int4 KV cache agree with the
+    exact-KV stream on most steps (VERDICT r2 ask #1: parity within
+    tolerance on the tiny config)."""
+    from dataclasses import replace
+    from test_lm import tiny_lm_config
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
+
+    cfg = tiny_lm_config()
+    model_fp = LMModel(cfg)
+    model_q = LMModel(replace(cfg, kv_cache_dtype="int4"))
+    params = model_fp.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    B, T = 1, 8
+    n_in = cfg.num_codebooks - cfg.dep_q - 1
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, n_in, T), 0, cfg.card)
+    gen_fp = LMGen(model_fp, LMGenConfig(use_sampling=False))
+    gen_q = LMGen(model_q, LMGenConfig(use_sampling=False))
+    s_fp = gen_fp.init_state(B, jax.random.PRNGKey(2), dtype=jnp.float32)
+    s_q = gen_q.init_state(B, jax.random.PRNGKey(2), dtype=jnp.float32)
+    agree = total = 0
+    for t in range(T):
+        it = tokens[:, :, t:t + 1]
+        o1, s_fp = gen_fp.step(params, s_fp, it)
+        o2, s_q = gen_q.step(params, s_q, it)
+        a, b = np.asarray(o1), np.asarray(o2)
+        agree += (a == b).sum()
+        total += a.size
+    assert agree / total > 0.5, (agree, total)
