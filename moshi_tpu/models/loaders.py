@@ -41,6 +41,19 @@ def load_safetensors(path: str | Path) -> dict:
     return out
 
 
+def load_weights(path: str | Path) -> dict:
+    """Name-keyed weight dict from safetensors OR gguf (the rust ecosystem's
+    quantized checkpoint format, `rust/moshi-core/src/lm.rs:1009-1031`).
+    gguf q8_0/f16/bf16 tensors are dequantized to f32; the serving path
+    re-quantizes to MXU-native QTensors via quantize_lm_params."""
+    path = Path(path)
+    if path.suffix == ".gguf":
+        from .gguf import read_gguf
+        _, tensors = read_gguf(path)
+        return {k: jnp.asarray(v) for k, v in tensors.items()}
+    return load_safetensors(path)
+
+
 def _fold_weight_norm(state: dict, key: str):
     """Fold weight_norm parametrisation if present (conv.rs:27-45)."""
     g, v = key + "_g", key + "_v"
@@ -350,7 +363,7 @@ def mimi_config_from_dict(d: dict | None, num_codebooks: int = 8) -> MimiConfig:
 def get_mimi(weights_path: str | Path, mimi_config: dict | None = None,
              num_codebooks: int = 8) -> tuple[MimiModel, dict]:
     model = MimiModel(mimi_config_from_dict(mimi_config, num_codebooks))
-    state = load_safetensors(weights_path)
+    state = load_weights(weights_path)
     params = mimi_params_from_torch_state(model, state)
     return model, params
 
@@ -424,7 +437,7 @@ def get_moshi_lm(weights_path: str | Path, lm_config: dict | LmConfig | None = N
         lora_scaling = lm_config.get("lora_scaling", lora_scaling)
         config = LmConfig.from_dict(lm_config)
     model = LMModel(config)
-    state = load_safetensors(weights_path)
+    state = load_weights(weights_path)
     if lora_weights is not None:
         from .lora import fuse_lora_state
         state = fuse_lora_state(state, load_safetensors(lora_weights), lora_scaling)

@@ -185,6 +185,7 @@ def export_model(ckpt_dir: Path, out_file: Path, bits: int = 4,
                       if v.dtype.kind == "f" else v)
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)
+    out = {k: np.ascontiguousarray(v) for k, v in out.items()}
     save_file(out, str(out_file))
     return out_file
 

@@ -30,7 +30,10 @@ def _dense(w):
 
 
 def _lin(w) -> np.ndarray:
-    return np.asarray(_dense(w), np.float32).T
+    # ascontiguousarray matters: safetensors save_file silently writes the
+    # raw buffer of a non-contiguous view (strides ignored), corrupting
+    # every transposed tensor on disk
+    return np.ascontiguousarray(np.asarray(_dense(w), np.float32).T)
 
 
 def _norm_out(state: dict, prefix: str, p: dict, norm: str):
@@ -151,6 +154,7 @@ def main():
     model, params = info.get_moshi(dtype=jnp.float32)
     state = lm_params_to_torch_state(model, params)
     from safetensors.numpy import save_file
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, str(args.out))
     print(f"exported {len(state)} tensors to {args.out}")
 
