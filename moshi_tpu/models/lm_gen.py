@@ -231,16 +231,27 @@ class LMGen:
         """One 80 ms frame, fully fused.  input_tokens: [B, Ki, 1] int.
         Returns (out [B, 1+dep_q, 1] int32, new state); `out` contains
         UNGENERATED_TOKEN for the first `max_delay` frames / frozen slots."""
-        out, _, _, state = self._step(params, state, input_tokens, exec_mask,
-                                      condition_sum, depformer_replace_tokens,
-                                      cfg_masked_until)
+        out, _, _, _, state = self._step(params, state, input_tokens, exec_mask,
+                                         condition_sum, depformer_replace_tokens,
+                                         cfg_masked_until)
         return out, state
+
+    def step_with_text_prob(self, params, state, input_tokens,
+                            exec_mask=None, condition_sum=None):
+        """Also return the sampled text token's softmax probability [B] f32
+        — the confidence that drives ColoredText (MT 7) frames
+        (protocol.rs:30-53; the web client maps it onto an 11-level
+        diverging palette, client TextDisplay.tsx)."""
+        out, _, _, prob, state = self._step(params, state, input_tokens,
+                                            exec_mask, condition_sum, None,
+                                            None)
+        return out, prob, state
 
     def step_with_extra_heads(self, params, state, input_tokens,
                               exec_mask=None, condition_sum=None):
         """Also return extra-head probabilities (lm.py:793-807)."""
-        out, h, _, state = self._step(params, state, input_tokens, exec_mask,
-                                      condition_sum, None, None)
+        out, h, _, _, state = self._step(params, state, input_tokens, exec_mask,
+                                         condition_sum, None, None)
         probs = self.model.extra_head_probs(params, h)
         return out, probs, state
 
@@ -267,6 +278,10 @@ class LMGen:
         rng = state["rng"]
         rng, krng = jax.random.split(rng)
         text_token = self._sample_text(krng, text_logits, state.get("text_history"))
+        # confidence of the sampled token (drives ColoredText frames)
+        lp = jax.nn.log_softmax(text_logits[:, 0, 0].astype(jnp.float32), -1)
+        text_prob = jnp.exp(jnp.take_along_axis(
+            lp, text_token.reshape(B, 1), axis=-1))[:, 0]
 
         if depformer_replace_tokens is not None:
             audio_tokens = depformer_replace_tokens[:, :, 0]
@@ -283,7 +298,7 @@ class LMGen:
         new_state = dict(state)
         new_state.update(cache=cache, offsets=offsets, transformer=tr_state, rng=rng)
         self._update_history(new_state, state, text_token, exec_mask)
-        return out, h[:B], text_token, new_state
+        return out, h[:B], text_token, text_prob, new_state
 
     # ------------------------------------------------------------- validation
     def check_frame(self, out: jax.Array) -> None:

@@ -48,6 +48,10 @@ class ServerState:
         # constructor default; callers override it explicitly if needed.
         merged = dict(lm_gen_kwargs)
         merged.setdefault("cfg_coef", cfg_coef)
+        # hibiki-style confidence-colored text (MT 7, protocol.rs:30-53):
+        # on by default for hibiki checkpoints, opt-in otherwise
+        self.colored_text = bool(merged.pop(
+            "colored_text", checkpoint_info.model_type == "hibiki"))
         self.lm_gen = LMGen(lm, LMGenConfig.from_dict(merged))
         self.lock = asyncio.Lock()
         self.rng_seed = rng_seed
@@ -61,7 +65,11 @@ class ServerState:
         # on the 7B at ctx 3000).  Callers always rebind the returned state.
         self._encode = jax.jit(self.mimi.encode_step, donate_argnums=1)
         self._decode = jax.jit(self.mimi.decode_step, donate_argnums=1)
-        self._step = jax.jit(self.lm_gen.step, donate_argnums=1)
+        if self.colored_text:
+            self._step = jax.jit(self.lm_gen.step_with_text_prob,
+                                 donate_argnums=1)
+        else:
+            self._step = jax.jit(self.lm_gen.step, donate_argnums=1)
         self.reset()
 
     def reset(self):
@@ -74,7 +82,12 @@ class ServerState:
         for _ in range(4):
             chunk = jnp.zeros((1, 1, self.frame_size), jnp.float32)
             codes, self.enc_state = self._encode(self.mimi_params, self.enc_state, chunk)
-            out, self.gen_state = self._step(self.lm_params, self.gen_state, codes)
+            if self.colored_text:
+                out, _, self.gen_state = self._step(self.lm_params,
+                                                    self.gen_state, codes)
+            else:
+                out, self.gen_state = self._step(self.lm_params,
+                                                 self.gen_state, codes)
             if (np.asarray(out) != UNGENERATED_TOKEN).all():
                 _, self.dec_state = self._decode(self.mimi_params, self.dec_state,
                                                  jnp.clip(out[:, 1:], 0, None))
@@ -82,17 +95,38 @@ class ServerState:
 
     def step_frame(self, chunk: np.ndarray):
         """One 80 ms frame: encode -> lm step -> decode.
-        Returns (pcm [T] float32 | None, text_token | None)."""
+        Returns (pcm [T] float32 | None, text_token | None, confidence |
+        None — the sampled text token's probability when colored_text)."""
         codes, self.enc_state = self._encode(self.mimi_params, self.enc_state,
                                              jnp.asarray(chunk)[None, None])
-        out, self.gen_state = self._step(self.lm_params, self.gen_state, codes)
+        prob = None
+        if self.colored_text:
+            out, prob_dev, self.gen_state = self._step(
+                self.lm_params, self.gen_state, codes)
+        else:
+            out, self.gen_state = self._step(self.lm_params, self.gen_state,
+                                             codes)
         out_np = np.asarray(out)
         if (out_np == UNGENERATED_TOKEN).any():
-            return None, None
+            return None, None, None
+        if self.colored_text:
+            prob = float(np.asarray(prob_dev)[0])
         self.session_tokens.append(out_np[0, :, 0])
         pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state,
                                            jnp.clip(out[:, 1:], 0, None))
-        return np.asarray(pcm)[0, 0], int(out_np[0, 0, 0])
+        return np.asarray(pcm)[0, 0], int(out_np[0, 0, 0]), prob
+
+    def set_image_embeddings(self, emb: np.ndarray):
+        """Route precomputed image/speaker embeddings [T, kv_dim] into the
+        cross-attention K/V cache (MT 8 path for the v0_1_vision presets;
+        the gated cross-attention consumes them every subsequent frame)."""
+        if not self.lm.config.cross_attention:
+            raise ValueError("model has no cross-attention")
+        src = jnp.asarray(emb, jnp.float32)[None]
+        if self.lm_gen.model_batch_mult == 2:
+            src = jnp.tile(src, (2, 1, 1))
+        self.gen_state = self.lm_gen.init_cross_state(
+            self.gen_state, self.lm_params, src)
 
     def save_session_log(self):
         """Per-connection token log (moshi-server/src/lm.rs:256-290)."""
@@ -112,6 +146,16 @@ class ServerState:
     def reset_encoder(self):
         self.enc_state = self.mimi.init_encode_state(1)
 
+    def _text_msg(self, text: str, prob: float | None) -> bytes:
+        """MT 2 text, or MT 7 confidence-colored text when colored_text:
+        payload = 1 color byte (0-10 index into the client's 11-level
+        diverging palette, client TextDisplay.tsx) + utf-8 text."""
+        if prob is None:
+            return proto.msg(proto.MT_TEXT, text.encode("utf-8"))
+        color = max(0, min(10, int(round(prob * 10))))
+        return proto.msg(proto.MT_COLOREDTEXT,
+                         bytes([color]) + text.encode("utf-8"))
+
     # ---------------------------------------------------------------- serving
     async def handle_chat(self, request):
         from aiohttp import web, WSMsgType
@@ -121,8 +165,21 @@ class ServerState:
         await ws.prepare(request)
         log("info", "accepted connection")
         async with self.lock:
-            opus_writer = moshi_native.OpusStreamWriter(self.mimi.sample_rate)
-            opus_reader = moshi_native.OpusStreamReader(self.mimi.sample_rate)
+            # lazy opus: raw-PCM clients (and non-opus sample rates in
+            # tests) never need the codec
+            class _LazyOpus:
+                def __init__(self, cls, rate):
+                    self._cls, self._rate, self._inst = cls, rate, None
+
+                def __getattr__(self, name):
+                    if self._inst is None:
+                        self._inst = self._cls(self._rate)
+                    return getattr(self._inst, name)
+
+            opus_writer = _LazyOpus(moshi_native.OpusStreamWriter,
+                                    self.mimi.sample_rate)
+            opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
+                                    self.mimi.sample_rate)
             self.reset()
             self.session_tokens = []
             # strict 8-byte handshake payload (rust/protocol.md:11-13);
@@ -172,7 +229,7 @@ class ServerState:
                         self.reset_encoder()
                         skip_frames -= 1
                         continue
-                    out_pcm, text_token = self.step_frame(chunk)
+                    out_pcm, text_token, prob = self.step_frame(chunk)
                     if out_pcm is None:
                         continue
                     await ws.send_bytes(
@@ -181,9 +238,8 @@ class ServerState:
                                   .tobytes()))
                     if text_token not in (0, 3) and self.text_tokenizer is not None:
                         text = self.text_tokenizer.id_to_piece(text_token)
-                        await ws.send_bytes(proto.msg(
-                            proto.MT_TEXT,
-                            text.replace("▁", " ").encode("utf-8")))
+                        text = text.replace("▁", " ")
+                        await ws.send_bytes(self._text_msg(text, prob))
                 continue
             if kind == proto.MT_CONTROL and len(data) >= 2:
                 ctrl = data[1]
@@ -227,6 +283,25 @@ class ServerState:
             if kind == proto.MT_PING:
                 await ws.send_bytes(proto.msg(proto.MT_PING))
                 continue
+            if kind == proto.MT_IMAGE:
+                # image/speaker embeddings for the vision presets: payload =
+                # u32 T + u32 kv_dim + f32le data (MT 8, protocol.rs:40; the
+                # reference defines the type but ships no vision tower — we
+                # accept precomputed embeddings and route them to the gated
+                # cross-attention, lm.rs v0_1_vision)
+                import struct as _struct
+                try:
+                    t_, dim_ = _struct.unpack("<II", data[1:9])
+                    emb = np.frombuffer(
+                        data[9:9 + 4 * t_ * dim_], "<f4").reshape(t_, dim_)
+                    self.set_image_embeddings(emb)
+                    await ws.send_bytes(proto.msg(
+                        proto.MT_METADATA,
+                        json.dumps({"image": "ok", "frames": t_}).encode()))
+                except (ValueError, _struct.error) as e:
+                    await ws.send_bytes(proto.msg(proto.MT_ERROR,
+                                                  str(e).encode()))
+                continue
             if kind != proto.MT_AUDIO:
                 continue  # unknown message types are discarded (protocol.md:32)
             if paused:
@@ -250,7 +325,7 @@ class ServerState:
                     self.reset_encoder()
                     skip_frames -= 1
                     continue
-                out_pcm, text_token = self.step_frame(chunk)
+                out_pcm, text_token, prob = self.step_frame(chunk)
                 if out_pcm is None:
                     continue
                 opus_bytes = opus_writer.append_pcm(
@@ -260,7 +335,7 @@ class ServerState:
                 if text_token not in (0, 3) and self.text_tokenizer is not None:
                     text = self.text_tokenizer.id_to_piece(text_token)
                     text = text.replace("▁", " ")
-                    await ws.send_bytes(b"\x02" + text.encode("utf-8"))
+                    await ws.send_bytes(self._text_msg(text, prob))
                 log("info", f"frame handled in {1000 * (time.time() - t0):.1f}ms")
 
 

@@ -358,3 +358,139 @@ def test_handshake_strict_payload():
     assert hs[0] == proto.MT_HANDSHAKE and len(hs) == 9
     pv, mv = struct.unpack("<II", hs[1:])
     assert pv == proto.PROTOCOL_VERSION and mv == 7
+
+
+class _FakeTok:
+    def id_to_piece(self, t):
+        return f"tok{t}"
+
+
+def test_colored_text_mt7(tiny_checkpoint):
+    """colored_text servers emit MT 7 frames: 1 confidence-color byte (0-10)
+    + utf-8 text (protocol.rs:30-53; client TextDisplay palette)."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu.serve import protocol as proto
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    cfg = dict(info.lm_gen_config)
+    cfg["colored_text"] = True
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, _FakeTok(),
+                        **cfg)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/api/chat")
+            assert (await ws.receive_bytes())[:1] == b"\x00"
+            await ws.send_bytes(bytes([proto.MT_METADATA])
+                                + b'{"raw_pcm": true}')
+            msg = await asyncio.wait_for(ws.receive_bytes(), timeout=10)
+            assert msg[0] == proto.MT_METADATA
+            rs = np.random.RandomState(0)
+            colored = []
+            fs = state.frame_size
+            for _ in range(12):
+                pcm = (rs.randn(fs) * 0.05).astype(np.float32)
+                await ws.send_bytes(bytes([proto.MT_PCM]) + pcm.tobytes())
+                try:
+                    while True:
+                        msg = await asyncio.wait_for(ws.receive_bytes(),
+                                                     timeout=2)
+                        if msg[0] == proto.MT_COLOREDTEXT:
+                            colored.append(msg)
+                except asyncio.TimeoutError:
+                    pass
+            assert colored, "no MT 7 frames observed"
+            for msg in colored:
+                assert 0 <= msg[1] <= 10  # palette index
+                assert msg[2:].decode("utf-8").startswith("tok")
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_image_embeddings_mt8():
+    """MT 8 image-embedding input routes to the vision preset's gated
+    cross-attention (VERDICT r2 ask #7): server acks with metadata and the
+    generation state carries the cross K/V rows; frames keep flowing."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import struct
+    import jax
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from test_lm import tiny_lm_config
+    from test_mimi import tiny_mimi_config
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu.serve import protocol as proto
+
+    cfg = tiny_lm_config(cross_attention=True,
+                         cross_attention_gating="conditional_gated_sigmoid")
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+    info = CheckpointInfo({"model_type": "moshi"})
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect("/api/chat")
+            assert (await ws.receive_bytes())[:1] == b"\x00"
+            await ws.send_bytes(bytes([proto.MT_METADATA])
+                                + b'{"raw_pcm": true}')
+            msg = await asyncio.wait_for(ws.receive_bytes(), timeout=10)
+            assert msg[0] == proto.MT_METADATA
+
+            emb = np.random.RandomState(0).randn(3, cfg.dim).astype(np.float32)
+            await ws.send_bytes(bytes([proto.MT_IMAGE])
+                                + struct.pack("<II", 3, cfg.dim)
+                                + emb.tobytes())
+            msg = await asyncio.wait_for(ws.receive_bytes(), timeout=10)
+            assert msg[0] == proto.MT_METADATA
+            assert json.loads(msg[1:])["image"] == "ok"
+            assert "k_cross" in state.gen_state["transformer"]
+
+            fs = state.frame_size
+            rs = np.random.RandomState(1)
+            got_audio = False
+            for _ in range(8):
+                pcm = (rs.randn(fs) * 0.05).astype(np.float32)
+                await ws.send_bytes(bytes([proto.MT_PCM]) + pcm.tobytes())
+                try:
+                    while True:
+                        msg = await asyncio.wait_for(ws.receive_bytes(),
+                                                     timeout=2)
+                        if msg[0] == proto.MT_PCM:
+                            got_audio = True
+                except asyncio.TimeoutError:
+                    pass
+            assert got_audio, "no audio frames after image embedding"
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
