@@ -1,8 +1,15 @@
 """End-to-end batched serving demo on the real chip: 7B (zeros weights,
-int8 w / int8 KV / ctx 3000), B=8 concurrent ws clients streaming real-time
+int8 w / int8 KV / ctx 3000), B concurrent ws clients streaming real-time
 opus audio through the full serve stack (aiohttp ws + ogg-opus + batched
 jitted frame loop).  Reports per-step model times and per-client audio
-throughput."""
+throughput.
+
+Soak mode (VERDICT r2 ask #6): `--seconds 280 --churn` keeps half the
+slots streaming past the ctx-3000 ring wraparound (4 min at 12.5 Hz) while
+the other half join/leave every ~20 s under live load — validating per-slot
+resets, stable step time, and no OOM across the wraparound.
+"""
+import argparse
 import asyncio
 import json
 import time
@@ -19,11 +26,18 @@ from moshi_tpu.utils.quantize import quantize_lm_params
 from moshi_tpu.serve.batched_moshi import BatchedMoshiState, handle_chat
 from moshi_tpu.serve.metrics import MODEL_STEP_DURATION, TOTAL_STEPS
 
-B = 8
-SECONDS = 16
+parser = argparse.ArgumentParser()
+parser.add_argument("--batch", type=int, default=8)
+parser.add_argument("--seconds", type=int, default=16)
+parser.add_argument("--churn", action="store_true",
+                    help="half the slots cycle join/leave every ~20 s")
+parser.add_argument("--kv", default="int8", choices=["int8", "int4"])
+args = parser.parse_args()
+B = args.batch
+SECONDS = args.seconds
 FRAME = 1920
 
-config = replace(lm_config_v0_1(), kv_cache_dtype="int8", context=3000)
+config = replace(lm_config_v0_1(), kv_cache_dtype=args.kv, context=3000)
 lm = LMModel(config)
 shapes = jax.eval_shape(
     lambda k: quantize_lm_params(lm.init_params(k, jnp.bfloat16), mode="int8"),
@@ -42,7 +56,7 @@ state.warmup()
 print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
 
 
-async def client_session(client, idx, results):
+async def client_session(client, idx, results, seconds=None):
     from aiohttp import WSMsgType
     from moshi_tpu import moshi_native
     ws = await client.ws_connect("/api/chat")
@@ -54,7 +68,7 @@ async def client_session(client, idx, results):
     sent = 0
     got_samples = 0
     t_start = time.perf_counter()
-    n_frames = SECONDS * 1000 // 80
+    n_frames = (seconds or SECONDS) * 1000 // 80
 
     async def recv():
         nonlocal got_samples
@@ -88,6 +102,17 @@ async def client_session(client, idx, results):
                     round(got_samples / 24000, 2), "wall_s": round(wall, 2)}
 
 
+async def churn_slot(client, idx, results, deadline):
+    """Join/leave repeatedly while others stream (live slot-reset churn)."""
+    sessions = 0
+    while time.perf_counter() < deadline - 25:
+        await client_session(client, 1000 * sessions + idx, results,
+                             seconds=20)
+        sessions += 1
+        await asyncio.sleep(2.0)
+    results[f"churn{idx}"] = {"sessions": sessions}
+
+
 async def main():
     from aiohttp import web
     from aiohttp.test_utils import TestServer, TestClient
@@ -98,8 +123,16 @@ async def main():
     loop_task = asyncio.create_task(state.run_loop())
     results = {}
     try:
-        await asyncio.gather(*[client_session(client, i, results)
-                               for i in range(B)])
+        if args.churn:
+            deadline = time.perf_counter() + SECONDS
+            long_haul = [client_session(client, i, results)
+                         for i in range(B // 2)]
+            churners = [churn_slot(client, i, results, deadline)
+                        for i in range(B // 2, B)]
+            await asyncio.gather(*long_haul, *churners)
+        else:
+            await asyncio.gather(*[client_session(client, i, results)
+                                   for i in range(B)])
     finally:
         loop_task.cancel()
         await client.close()
@@ -107,7 +140,10 @@ async def main():
     h = MODEL_STEP_DURATION
     summary = {
         "clients": B,
+        "churn": args.churn,
+        "kv": args.kv,
         "seconds_streamed": SECONDS,
+        "wraparound_crossed": SECONDS * 1000 // 80 > 3000,
         "total_model_steps": TOTAL_STEPS.value,
         "per_client": results,
         "step_count": h.n,
