@@ -299,18 +299,23 @@ class StreamingTransformer:
         shape = (c.num_layers, batch_size, cap, c.num_kv_heads, c.head_dim)
         state = {"offset": jnp.zeros((batch_size,), jnp.int32)}
         if c.kv_cache_dtype == "int4":
-            # Nibble-packed cache in the ops/int4_attention.py layouts
-            # (chosen so both kernel dots are Mosaic's fast int4-RHS form):
-            # K [L, B, hd/2, cap] channel-pair packed position-major,
-            # V [L, B, cap/2, hd] position-pair packed, scales transposed
-            # [L, B, H, cap].
-            assert cap % 2 == 0, "int4 KV packs position pairs"
+            # Nibble-packed cache in the ops/int4_attention.py layout: K and
+            # V both [L, B, hd/2, cap] int8, CHANNEL-pair packed with
+            # positions along lanes (byte at (row r, lane s) = channels
+            # 2r/2r+1 of position s) — the layout whose blocks feed Mosaic's
+            # batched int4 dots directly; a position's write is one plain
+            # [hd/2] column scatter.  Scales transposed [L, B, H, cap].
             assert c.head_dim % 2 == 0
             hd = c.num_kv_heads * c.head_dim
             lead = shape[:2]  # (L, B)
+            # lane (position) dim padded to a 128 multiple: Mosaic kernels
+            # need lane-aligned blocks; the scales keep the LOGICAL cap (the
+            # ring/mask math reads it from k_scale), and the pad lanes are
+            # never written or attended (mask pads to -inf in the wrapper)
+            cap_pad = -(-cap // 128) * 128
             state.update(
-                k=jnp.zeros(lead + (hd // 2, cap), jnp.int8),
-                v=jnp.zeros(lead + (cap // 2, hd), jnp.int8),
+                k=jnp.zeros(lead + (hd // 2, cap_pad), jnp.int8),
+                v=jnp.zeros(lead + (hd // 2, cap_pad), jnp.int8),
                 k_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
                 v_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
             )
@@ -391,8 +396,7 @@ class StreamingTransformer:
         c = self.config
         compute = q.dtype
         if k_scale is not None and c.kv_cache_dtype == "int4":
-            # k: [B, hd/2, cap] channel-pair packed; v: [B, cap/2, hd]
-            # position-pair packed; scales [B, H, cap]
+            # k/v: [B, hd/2, cap] channel-pair packed; scales [B, H, cap]
             from ..ops.q4matmul import use_pallas
             if use_pallas() and q.shape[2] == 1 and c.kv_repeat == 1 \
                     and mask is not None:
@@ -401,8 +405,10 @@ class StreamingTransformer:
                                             mask[:, 0, 0])
                 return out.astype(compute)
             # XLA fallback (CPU tests, chunked steps): materialized unpack
-            k = _unpack_int4_channel_major(k, c.num_kv_heads)
-            v = _unpack_int4_pp(v, c.num_kv_heads)
+            # (sliced back to the logical cap — the cache lane dim is padded)
+            cap_logical = k_scale.shape[-1]
+            k = _unpack_int4_channel_major(k, c.num_kv_heads)[:, :cap_logical]
+            v = _unpack_int4_channel_major(v, c.num_kv_heads)[:, :cap_logical]
             k_scale = k_scale.transpose(0, 2, 1)[..., None]  # [B, cap, H, 1]
             v_scale = v_scale.transpose(0, 2, 1)[..., None]
         if c.kv_repeat > 1:
@@ -633,20 +639,17 @@ class StreamingTransformer:
                     nonlocal ks_all, vs_all
                     (kq, ks), (vq, vs) = quant_rows(kk), quant_rows(vv)
                     if int4_kv:
-                        # K: channel-pair packed column write (a position's
-                        # channels live in one [hd/2] column — no RMW);
-                        # V: nibble read-modify-write (the paired position's
-                        # nibble is preserved); sequential over T so writes
-                        # to a shared byte row compose
+                        # channel-pair packed column writes: a position's
+                        # channels live in one [hd/2] column, so each write
+                        # touches whole bytes (no read-modify-write)
                         kqf = kq.reshape(B, T, -1)
                         vqf = vq.reshape(B, T, -1)
                         for t in range(T):
                             pos = write_idx[:, t]
-                            kcol = ((kqf[:, t, 1::2] << 4)
-                                    | (kqf[:, t, 0::2] & jnp.int8(15)))
+                            kcol = _pack_nibble_cols(kqf[:, t])
+                            vcol = _pack_nibble_cols(vqf[:, t])
                             k_all = k_all.at[l, barange, :, pos].set(kcol)
-                            v_all = _rmw_nibble(v_all, l, barange, pos,
-                                                vqf[:, t])
+                            v_all = v_all.at[l, barange, :, pos].set(vcol)
                             ks_all = ks_all.at[l, barange, :, pos].set(
                                 ks[:, t, :, 0].astype(ks_all.dtype))
                             vs_all = vs_all.at[l, barange, :, pos].set(
@@ -709,29 +712,10 @@ def _quant_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def _rmw_nibble(all_: jax.Array, l, barange: jax.Array, pos: jax.Array,
-                vals: jax.Array) -> jax.Array:
-    """Write int4 values [B, H*D] for one position into the position-pair
-    packed cache [L, B, cap/2, H*D]: position 2r is the low nibble of byte
-    row r, 2r+1 the high nibble; the paired position's nibble is preserved.
-    Writes are unconditional like the int8 scatter (frozen slots' rows are
-    masked out via ring positions, and get rewritten on their next step)."""
-    row = pos // 2
-    old = all_[l, barange, row]                                # [B, H*D]
-    lo = (old & jnp.int8(-16)) | (vals & jnp.int8(15))
-    hi = (vals << 4) | (old & jnp.int8(15))
-    byte = jnp.where((pos % 2 == 0)[:, None], lo, hi)
-    return all_.at[l, barange, row].set(byte)
-
-
-def _unpack_int4_pp(x: jax.Array, heads: int) -> jax.Array:
-    """[B, cap/2, H*D] position-pair packed int8 -> [B, cap, H, D] int4.
-    XLA fallback for CPU/tests; the TPU path never materializes this
-    (ops/int4_attention.py reads the packed bytes directly)."""
-    u = lax.bitcast_convert_type(x, jnp.int4)      # [B, cap/2, H*D, 2]
-    u = u.transpose(0, 1, 3, 2)                    # [B, cap/2, 2, H*D]
-    B, c2, _, hd = u.shape
-    return u.reshape(B, c2 * 2, heads, hd // heads)
+def _pack_nibble_cols(vals: jax.Array) -> jax.Array:
+    """int4 values [B, H*D] (one position's channels) -> channel-pair packed
+    bytes [B, H*D/2]: channel 2r in the low nibble, 2r+1 in the high."""
+    return (vals[:, 1::2] << 4) | (vals[:, 0::2] & jnp.int8(15))
 
 
 def _unpack_int4_channel_major(x: jax.Array, heads: int) -> jax.Array:

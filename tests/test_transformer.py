@@ -151,12 +151,10 @@ def test_parity_with_reference(norm, gating, ls):
 
 
 def test_int4_pack_bitcast_roundtrip():
-    """Both int4 cache layouts round-trip exactly: V position-pair nibble
-    RMW writes (paired position's nibble preserved) and K channel-pair
-    packed column writes."""
+    """The channel-pair packed column writes round-trip exactly through the
+    bitcast unpack (the ops/int4_attention.py cache layout)."""
     from moshi_tpu.modules.transformer import (
-        _quant_rows_int4, _rmw_nibble, _unpack_int4_pp,
-        _unpack_int4_channel_major)
+        _quant_rows_int4, _pack_nibble_cols, _unpack_int4_channel_major)
 
     B, T, H, D = 2, 6, 4, 16
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D), jnp.float32)
@@ -169,22 +167,14 @@ def test_int4_pack_bitcast_roundtrip():
     cap = 8
     barange = jnp.arange(B)
     qf = q.reshape(B, T, -1)
-
-    # V layout: [1, B, cap/2, hd] position pairs via RMW
-    vcache = jnp.zeros((1, B, cap // 2, H * D), jnp.int8)
-    # K layout: [1, B, hd/2, cap] channel pairs via column writes
-    kcache = jnp.zeros((1, B, H * D // 2, cap), jnp.int8)
+    cache = jnp.zeros((1, B, H * D // 2, cap), jnp.int8)
     for t in range(T):
         pos = jnp.full((B,), t, jnp.int32)
-        vcache = _rmw_nibble(vcache, 0, barange, pos, qf[:, t])
-        kcol = (qf[:, t, 1::2] << 4) | (qf[:, t, 0::2] & jnp.int8(15))
-        kcache = kcache.at[0, barange, :, pos].set(kcol)
-    got_v = np.asarray(_unpack_int4_pp(vcache[0], heads=H).astype(jnp.int32))
-    got_k = np.asarray(
-        _unpack_int4_channel_major(kcache[0], heads=H).astype(jnp.int32))
-    np.testing.assert_array_equal(got_v[:, :T], np.asarray(q, np.int32))
-    np.testing.assert_array_equal(got_k[:, :T], np.asarray(q, np.int32))
-    assert (got_v[:, T:] == 0).all() and (got_k[:, T:] == 0).all()
+        cache = cache.at[0, barange, :, pos].set(_pack_nibble_cols(qf[:, t]))
+    got = np.asarray(
+        _unpack_int4_channel_major(cache[0], heads=H).astype(jnp.int32))
+    np.testing.assert_array_equal(got[:, :T], np.asarray(q, np.int32))
+    assert (got[:, T:] == 0).all()
 
 
 @pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
