@@ -396,16 +396,11 @@ class StreamingTransformer:
         c = self.config
         compute = q.dtype
         if k_scale is not None and c.kv_cache_dtype == "int4":
-            # k/v: [B, hd/2, cap] channel-pair packed; scales [B, H, cap]
-            from ..ops.q4matmul import use_pallas
-            if use_pallas() and q.shape[2] == 1 and c.kv_repeat == 1 \
-                    and mask is not None:
-                from ..ops.int4_attention import decode_attention_int4
-                out = decode_attention_int4(q, k, v, k_scale, v_scale,
-                                            mask[:, 0, 0])
-                return out.astype(compute)
-            # XLA fallback (CPU tests, chunked steps): materialized unpack
-            # (sliced back to the logical cap — the cache lane dim is padded)
+            # k/v: [B, hd/2, cap_pad] channel-pair packed; scales [B, H, cap].
+            # Only the T>1 (prefill/chunked-test) path lands here — T=1
+            # decode goes through _step_int4_decode / _int4_attention.
+            # Materialized unpack, sliced back to the logical cap (the cache
+            # lane dim is padded to a 128 multiple).
             cap_logical = k_scale.shape[-1]
             k = _unpack_int4_channel_major(k, c.num_kv_heads)[:, :cap_logical]
             v = _unpack_int4_channel_major(v, c.num_kv_heads)[:, :cap_logical]
@@ -444,7 +439,8 @@ class StreamingTransformer:
         return out.reshape(*out.shape[:2], -1)  # [B, T, Hq*D]
 
     def _layer(self, pl, x, *, complete_kv, mask, rope_offset,
-               widx, k_cross=None, v_cross=None, xa_proj=None):
+               widx, k_cross=None, v_cross=None, xa_proj=None,
+               int4_ctx=None):
         """One transformer layer.  Returns y.
 
         complete_kv(kk, vv) -> (k_att, v_att): injected KV-cache completion —
@@ -472,10 +468,12 @@ class StreamingTransformer:
             q = qh.transpose(0, 2, 1, 3)
             kk = kh.transpose(0, 2, 1, 3)
 
-        k_att, v_att, k_scale, v_scale = complete_kv(kk, vv)
-
-        attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask,
-                               k_scale=k_scale, v_scale=v_scale)
+        if int4_ctx is not None:
+            attn = self._int4_attention(q, kk, vv, int4_ctx)
+        else:
+            k_att, v_att, k_scale, v_scale = complete_kv(kk, vv)
+            attn = self._attention(q.transpose(0, 2, 1, 3), k_att, v_att, mask,
+                                   k_scale=k_scale, v_scale=v_scale)
         attn = _per_step_linear(pl["attn"]["out_proj"], attn, widx)
         if "layer_scale_1" in pl:
             attn = pl["layer_scale_1"]["scale"].astype(attn.dtype) * attn
@@ -584,6 +582,9 @@ class StreamingTransformer:
         """Streaming forward of T new steps with the ring KV cache."""
         c = self.config
         B, T, _ = x.shape
+        if c.kv_cache_dtype == "int4" and T == 1:
+            return self._step_int4_decode(params, state, x,
+                                          exec_mask=exec_mask, steps=steps)
         offset = state["offset"]
         if c.kv_cache_dtype == "int4":
             cap = state["k_scale"].shape[-1]
@@ -690,6 +691,169 @@ class StreamingTransformer:
             (x, k_new, v_new), _ = lax.scan(body, (x, state["k"], state["v"]), xs)
         new_state.update(k=k_new, v=v_new, offset=offset_next)
         return x, new_state
+
+    # --------------------------------------------------------- int4 decode
+    def _step_int4_decode(self, params: dict, state: dict, x: jax.Array, *,
+                          exec_mask: jax.Array | None = None,
+                          steps: jax.Array | None = None):
+        """One decode step (T=1) over the int4-packed ring KV cache.
+
+        Structure (each point measured on-chip; see ops/int4_attention.py):
+        - attention reads the packed cache stacks DIRECTLY (scalar-prefetch
+          layer indexing — slicing a layer out for a pallas call copies it);
+        - the kernel returns unnormalized flash state and the CURRENT
+          frame's K/V row is injected analytically (unquantized — slightly
+          more accurate than the int8 path's read-back of the quantized
+          row);
+        - cache writes are deferred to one dynamic-update-slice per slot
+          after the layer scan: in-scan lane scatters made XLA choose a
+          scatter-friendly transposed cache layout and copy the whole cache
+          every frame, and per-(layer, slot) update chains were op-latency
+          bound.
+        """
+        c = self.config
+        B, T, _ = x.shape
+        offset = state["offset"]
+        cap = state["k_scale"].shape[-1]
+        x = self._pos_embed(x, offset)
+
+        widx = None
+        if c.num_weights > 1:
+            if steps is None:
+                steps = jnp.arange(T, dtype=jnp.int32)
+            widx = c.steps_to_weight_indices(steps)
+
+        wp = offset % cap                                        # [B]
+        pos_k, offset_next = ring_positions(offset, T, cap, exec_mask)
+        delta = offset[:, None] - pos_k                          # [B, cap]
+        mask = (pos_k >= 0) & (delta >= 0)
+        if c.context is not None:
+            mask &= delta < c.context
+        # the cache row at the write position is stale (the fresh row is
+        # injected separately); never attend it through the cache
+        lane = jnp.arange(cap)
+        mask &= lane[None, :] != wp[:, None]
+        cur_valid = exec_mask if exec_mask is not None \
+            else jnp.ones((B,), bool)
+
+        has_cross = "k_cross" in state
+        shared = c.shared_cross_attn
+        xa_shared = params.get("cross_attn_shared")
+
+        k_all, v_all = state["k"], state["v"]
+        ks_all, vs_all = state["k_scale"], state["v_scale"]
+
+        def body(h, xs):
+            if has_cross and not shared:
+                pl_, l, kx, vx = xs
+            else:
+                pl_, l = xs
+                kx = vx = None
+                if has_cross:
+                    kx, vx = state["k_cross"], state["v_cross"]
+            ictx = {"layer": l, "k_all": k_all, "v_all": v_all,
+                    "ks_all": ks_all, "vs_all": vs_all, "mask": mask,
+                    "cur_valid": cur_valid, "cap": cap}
+            y = self._layer(pl_, h, complete_kv=None, mask=None,
+                            rope_offset=offset, widx=widx,
+                            k_cross=kx, v_cross=vx,
+                            xa_proj=xa_shared if shared else None,
+                            int4_ctx=ictx)
+            return y, ictx["cols"]
+
+        larange = jnp.arange(c.num_layers)
+        if has_cross and not shared:
+            xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
+        else:
+            xs = (params["layers"], larange)
+        x, cols = lax.scan(body, x, xs)
+        kcols, vcols, kscols, vscols = cols  # [L, B, hd/2] / [L, B, H]
+
+        # deferred writes: one aligned-free DUS per slot covering all layers
+        L = c.num_layers
+        hd2 = k_all.shape[2]
+        H = c.num_kv_heads
+        for b in range(B):
+            pos_b = wp[b]
+            k_all = lax.dynamic_update_slice(
+                k_all, kcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
+            v_all = lax.dynamic_update_slice(
+                v_all, vcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
+            ks_all = lax.dynamic_update_slice(
+                ks_all, kscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
+            vs_all = lax.dynamic_update_slice(
+                vs_all, vscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
+
+        new_state = dict(state)
+        new_state.update(k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all,
+                         offset=offset_next)
+        return x, new_state
+
+    def _int4_attention(self, q, kk, vv, ictx) -> jax.Array:
+        """Decode attention over the packed int4 cache + the current row.
+
+        q: [B, T=1, H, D] (rope'd, head-minor); kk/vv: [B, T=1, Hkv, D]
+        (rope'd current rows).  Quantizes/packs the current rows into
+        ictx["cols"] for the deferred write, runs the cache pass (Pallas on
+        TPU, dense fallback elsewhere), and merges the current row via
+        flash-combine.  Returns [B, T, H*D]."""
+        c = self.config
+        B = q.shape[0]
+        H, D = c.num_heads, c.head_dim
+        (kq, ks), (vq, vs) = _quant_rows_int4(kk), _quant_rows_int4(vv)
+        ictx["cols"] = (_pack_nibble_cols(kq.reshape(B, -1)),
+                        _pack_nibble_cols(vq.reshape(B, -1)),
+                        ks[:, 0, :, 0].astype(jnp.bfloat16),
+                        vs[:, 0, :, 0].astype(jnp.bfloat16))
+
+        layer = ictx["layer"]
+        mask = ictx["mask"]
+        cur_valid = ictx["cur_valid"]
+        cap = ictx["cap"]
+        qh = q.transpose(0, 2, 1, 3)                     # [B, H, 1, D]
+        from ..ops.q4matmul import use_pallas
+        if use_pallas() and c.kv_repeat == 1:
+            from ..ops.int4_attention import decode_attention_int4_stats
+            acc, m, l = decode_attention_int4_stats(
+                qh, layer, ictx["k_all"], ictx["v_all"],
+                ictx["ks_all"], ictx["vs_all"], mask)
+        else:
+            # dense fallback (CPU tests / GQA): dequantize this layer
+            Hkv = c.num_kv_heads
+            kd = _unpack_int4_channel_major(ictx["k_all"][layer], Hkv)[:, :cap]
+            vd = _unpack_int4_channel_major(ictx["v_all"][layer], Hkv)[:, :cap]
+            ksl = ictx["ks_all"][layer].transpose(0, 2, 1)  # [B, cap, H]
+            vsl = ictx["vs_all"][layer].transpose(0, 2, 1)
+            kf = kd.astype(jnp.float32) * ksl[..., None].astype(jnp.float32)
+            vf = vd.astype(jnp.float32) * vsl[..., None].astype(jnp.float32)
+            if c.kv_repeat > 1:
+                kf = jnp.repeat(kf, c.kv_repeat, axis=2)
+                vf = jnp.repeat(vf, c.kv_repeat, axis=2)
+            scores = einsum("bhtd,bshd->bhts", qh.astype(jnp.float32), kf,
+                            preferred_element_type=jnp.float32)
+            scores = scores[:, :, 0, :] / math.sqrt(D)   # [B, H, cap]
+            scores = jnp.where(mask[:, None, :], scores, -1e30)
+            m = jnp.max(scores, axis=-1, keepdims=True)  # [B, H, 1]
+            p = jnp.exp(scores - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = einsum("bhs,bshd->bhd", p, vf)
+
+        # flash-merge the current (unquantized) rows
+        k_cur = kk[:, 0]                                 # [B, Hkv, D]
+        v_cur = vv[:, 0]
+        if c.kv_repeat > 1:
+            k_cur = jnp.repeat(k_cur, c.kv_repeat, axis=1)
+            v_cur = jnp.repeat(v_cur, c.kv_repeat, axis=1)
+        s_cur = jnp.sum(qh[:, :, 0, :].astype(jnp.float32)
+                        * k_cur.astype(jnp.float32), -1, keepdims=True)
+        s_cur = s_cur / math.sqrt(D)                     # [B, H, 1]
+        s_cur = jnp.where(cur_valid[:, None, None], s_cur, -1e30)
+        m2 = jnp.maximum(m, s_cur)
+        a1 = jnp.exp(m - m2)
+        a2 = jnp.exp(s_cur - m2)
+        out = (acc * a1 + a2 * v_cur.astype(jnp.float32)) \
+            / (l * a1 + a2 + 1e-30)
+        return out.reshape(B, 1, H * D).astype(q.dtype)
 
 
 def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
