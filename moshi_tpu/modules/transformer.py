@@ -123,11 +123,12 @@ class TransformerConfig:
     # "int8" stores the ring KV cache quantized per (position, head) row,
     # halving KV HBM footprint and attention bandwidth (a TPU-native
     # extension; the reference keeps KV in model dtype).  "int4" packs two
-    # positions per byte (position-pair packing): quarter footprint, read by
-    # a fused Pallas flash-decode kernel (ops/int4_attention.py) that
-    # reinterprets packed blocks as int4 via `pltpu.bitcast` and feeds the
-    # MXU directly — XLA alone cannot read nibble-packed KV at speed (the
-    # s4 convert does not fuse; measured 75 GB/s vs 403 for int8).
+    # CHANNELS per byte (channel-pair packing, positions along lanes):
+    # quarter footprint, read by a fused Pallas flash-decode kernel
+    # (ops/int4_attention.py) whose batched dots reinterpret packed blocks
+    # as int4 via `pltpu.bitcast` — XLA alone cannot read nibble-packed KV
+    # at speed (the s4 convert does not fuse; measured 75 GB/s vs 403 for
+    # int8).  Unlocks B=16 at the full 4-minute context on one v5e.
     kv_cache_dtype: str = "model"  # model | int8 | int4
     # With int8 KV, also quantize the query per row and compute the QK^T
     # scores as a native int8 x int8 MXU dot (int32 accumulate) instead of
@@ -313,11 +314,15 @@ class StreamingTransformer:
             # ring/mask math reads it from k_scale), and the pad lanes are
             # never written or attended (mask pads to -inf in the wrapper)
             cap_pad = -(-cap // 128) * 128
+            assert capacity is None or capacity == c.kv_capacity, \
+                "int4 KV reads its logical capacity from the config"
             state.update(
                 k=jnp.zeros(lead + (hd // 2, cap_pad), jnp.int8),
                 v=jnp.zeros(lead + (hd // 2, cap_pad), jnp.int8),
-                k_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
-                v_scale=jnp.zeros(lead + (c.num_kv_heads, cap), jnp.bfloat16),
+                k_scale=jnp.zeros(lead + (c.num_kv_heads, cap_pad),
+                                  jnp.bfloat16),
+                v_scale=jnp.zeros(lead + (c.num_kv_heads, cap_pad),
+                                  jnp.bfloat16),
             )
         elif c.kv_cache_dtype == "int8":
             state.update(
@@ -399,13 +404,13 @@ class StreamingTransformer:
             # k/v: [B, hd/2, cap_pad] channel-pair packed; scales [B, H, cap].
             # Only the T>1 (prefill/chunked-test) path lands here — T=1
             # decode goes through _step_int4_decode / _int4_attention.
-            # Materialized unpack, sliced back to the logical cap (the cache
-            # lane dim is padded to a 128 multiple).
-            cap_logical = k_scale.shape[-1]
+            # Materialized unpack, sliced back to the logical cap (cache and
+            # scale lane dims are padded to a 128 multiple).
+            cap_logical = mask.shape[-1] if mask is not None else k_scale.shape[-1]
             k = _unpack_int4_channel_major(k, c.num_kv_heads)[:, :cap_logical]
             v = _unpack_int4_channel_major(v, c.num_kv_heads)[:, :cap_logical]
-            k_scale = k_scale.transpose(0, 2, 1)[..., None]  # [B, cap, H, 1]
-            v_scale = v_scale.transpose(0, 2, 1)[..., None]
+            k_scale = k_scale.transpose(0, 2, 1)[:, :cap_logical, :, None]
+            v_scale = v_scale.transpose(0, 2, 1)[:, :cap_logical, :, None]
         if c.kv_repeat > 1:
             k = jnp.repeat(k, c.kv_repeat, axis=2)
             v = jnp.repeat(v, c.kv_repeat, axis=2)
@@ -587,7 +592,7 @@ class StreamingTransformer:
                                           exec_mask=exec_mask, steps=steps)
         offset = state["offset"]
         if c.kv_cache_dtype == "int4":
-            cap = state["k_scale"].shape[-1]
+            cap = c.kv_capacity  # cache arrays are lane-padded past this
         else:
             cap = state["k"].shape[2]
         x = self._pos_embed(x, offset)
@@ -714,7 +719,7 @@ class StreamingTransformer:
         c = self.config
         B, T, _ = x.shape
         offset = state["offset"]
-        cap = state["k_scale"].shape[-1]
+        cap = c.kv_capacity  # cache arrays are lane-padded past this
         x = self._pos_embed(x, offset)
 
         widx = None
@@ -773,6 +778,9 @@ class StreamingTransformer:
         L = c.num_layers
         hd2 = k_all.shape[2]
         H = c.num_kv_heads
+        import sys as _sys
+        if getattr(_sys.modules[__name__], "_SKIP_INT4_WRITES", False):
+            B = 0  # perf-ablation hook (scripts only; never set in serving)
         for b in range(B):
             pos_b = wp[b]
             k_all = lax.dynamic_update_slice(
@@ -822,8 +830,8 @@ class StreamingTransformer:
             Hkv = c.num_kv_heads
             kd = _unpack_int4_channel_major(ictx["k_all"][layer], Hkv)[:, :cap]
             vd = _unpack_int4_channel_major(ictx["v_all"][layer], Hkv)[:, :cap]
-            ksl = ictx["ks_all"][layer].transpose(0, 2, 1)  # [B, cap, H]
-            vsl = ictx["vs_all"][layer].transpose(0, 2, 1)
+            ksl = ictx["ks_all"][layer].transpose(0, 2, 1)[:, :cap]  # [B,cap,H]
+            vsl = ictx["vs_all"][layer].transpose(0, 2, 1)[:, :cap]
             kf = kd.astype(jnp.float32) * ksl[..., None].astype(jnp.float32)
             vf = vd.astype(jnp.float32) * vsl[..., None].astype(jnp.float32)
             if c.kv_repeat > 1:

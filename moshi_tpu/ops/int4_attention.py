@@ -116,19 +116,17 @@ def decode_attention_int4_stats(q, layer, k_all, v_all, k_scale, v_scale,
     B, H, T, D = q.shape
     assert T == 1
     cap_pad = k_all.shape[-1]
-    cap = k_scale.shape[-1]
+    cap = mask.shape[-1]  # logical; scales are stored padded like the cache
     assert cap_pad % 128 == 0 and cap_pad >= cap
+    assert k_scale.shape[-1] == cap_pad, "scales must be lane-padded"
     hd = H * D
     chunk = max(d for d in range(128, min(chunk, cap_pad) + 1, 128)
                 if cap_pad % d == 0)
     nc = cap_pad // chunk
 
     qf = (q[:, :, 0, :].astype(jnp.float32) / math.sqrt(D)).astype(jnp.bfloat16)
-    pad = cap_pad - cap
-    if pad:
-        k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    if cap_pad > cap:
+        mask = jnp.pad(mask, ((0, 0), (0, cap_pad - cap)))
     bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
 
     # index_map convention: grid indices first, prefetch scalar refs last

@@ -123,3 +123,46 @@ def test_per_slot_reset():
         ref0, st0 = model.encode_step(params, st0,
                                       jnp.asarray(pcm[0:1, :, f * fs:(f + 1) * fs]))
     np.testing.assert_array_equal(np.asarray(codes[0]), np.asarray(ref0[0]))
+
+
+def test_int4_kv_exec_mask_freeze():
+    """Frozen slots over the int4 decode path (deferred writes + current-row
+    injection) must keep their stream bit-exact vs stepping alone."""
+    from dataclasses import replace
+    from moshi_tpu.modules.transformer import (TransformerConfig,
+                                               StreamingTransformer)
+
+    cfg = TransformerConfig(d_model=64, num_heads=4, num_layers=2,
+                            dim_feedforward=256, causal=True, context=16,
+                            positional_embedding="rope", gating="silu",
+                            norm="rms_norm_f32", kv_cache_dtype="int4")
+    tr = StreamingTransformer(cfg)
+    params = tr.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, T = 2, 10
+    rs = np.random.RandomState(0)
+    x = rs.randn(B, T, cfg.d_model).astype(np.float32) * 0.5
+    sched = rs.rand(B, T) > 0.3
+    sched[:, 0] = True
+
+    # batched run with per-slot freeze
+    st = tr.init_state(B, dtype=jnp.float32)
+    counts = np.zeros(B, int)
+    got = [[] for _ in range(B)]
+    for t in range(T):
+        mask = sched[:, t]
+        chunk = np.stack([x[b, counts[b]][None] for b in range(B)])
+        y, st = tr.step(params, st, jnp.asarray(chunk),
+                        exec_mask=jnp.asarray(mask))
+        for b in range(B):
+            if mask[b]:
+                got[b].append(np.asarray(y[b]))
+                counts[b] += 1
+
+    # per-item reference runs (batch of 1, no mask)
+    for b in range(B):
+        st1 = tr.init_state(1, dtype=jnp.float32)
+        for i in range(counts[b]):
+            y1, st1 = tr.step(params, st1, jnp.asarray(x[b, i][None, None]))
+            np.testing.assert_allclose(np.asarray(y1[0]), got[b][i],
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"slot {b} step {i}")
