@@ -122,6 +122,25 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
         if i >= 5:
             events.append({"event": "asr_step", "step": i, "ms": dt * 1000,
                            "n_msgs": len(msgs)})
+    # device-only share: the same jitted pieces chained with constant host
+    # inputs, one final sync.  The difference vs the full step is the host
+    # state-machine round trip, which through THIS dev environment's
+    # tunneled TPU costs ~30 ms/sync (CLAUDE.md) — a local chip pays <1 ms.
+    tokens = jnp.zeros((batch, 1 + asr.n_codebooks, 1), jnp.int32)
+    pcm_j = jnp.zeros((batch, 1, fs), jnp.float32)
+    tr_state, rng = state["transformer"], state["rng"]
+    mimi_state = state["mimi"]
+    for _ in range(3):
+        codes, mimi_state = asr._encode_fn(mimi_params, mimi_state, pcm_j, None)
+        _, _, tr_state, rng = asr._step_fn(lm_params, tr_state, tokens, rng, None)
+    jax.block_until_ready(tr_state["offset"])
+    t0 = time.perf_counter()
+    for _ in range(len(events)):
+        codes, mimi_state = asr._encode_fn(mimi_params, mimi_state, pcm_j, None)
+        tok, _, tr_state, rng = asr._step_fn(lm_params, tr_state, tokens, rng, None)
+    np.asarray(tok)
+    device_ms = (time.perf_counter() - t0) * 1000 / len(events)
+
     durations = sorted(e["ms"] for e in events)
     summary = {
         "mode": "asr", "model": model_name, "batch": batch,
@@ -129,7 +148,10 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
         "p50_ms": durations[len(durations) // 2],
         "p90_ms": durations[int(len(durations) * 0.9)],
         "ms_per_user_p50": durations[len(durations) // 2] / batch,
+        "device_only_ms": round(device_ms, 2),
+        "host_roundtrip_ms": round(durations[len(durations) // 2] - device_ms, 2),
         "realtime": durations[int(len(durations) * 0.9)] < 80.0,
+        "realtime_device_only": device_ms < 80.0,
     }
     if out_path:
         with open(out_path, "w") as f:
@@ -172,13 +194,41 @@ def bench_tts(model_name: str = "tts_v0_1", steps: int = 50,
         if i >= 5:
             events.append({"event": "tts_step", "step": i, "ms": dt * 1000,
                            "audio": pcm is not None})
+    # device-only share (see bench_asr): chain main_step + depth_decode with
+    # a fixed text token, one final sync — the DSM machine's host round trip
+    # costs ~30 ms/sync through this dev tunnel, <1 ms on a local chip.
+    gstate = streamer.gstate
+    dec_state = streamer.dec_state
+    fixed_tok = jnp.zeros((1,), jnp.int32)
+    zero_mask = jnp.zeros((1, c.dep_q), bool)
+    valid = jnp.ones((1,), bool)
+    for _ in range(3):
+        _, _, h, gstate = streamer._main(lm_params, gstate, streamer._input,
+                                         None, streamer.condition_sum)
+        _, pcm, gstate, dec_state = streamer._depth_decode(
+            lm_params, mimi_params, gstate, dec_state, fixed_tok, h, None,
+            zero_mask, valid)
+    jax.block_until_ready(pcm)
+    t0 = time.perf_counter()
+    for _ in range(len(events)):
+        _, _, h, gstate = streamer._main(lm_params, gstate, streamer._input,
+                                         None, streamer.condition_sum)
+        _, pcm, gstate, dec_state = streamer._depth_decode(
+            lm_params, mimi_params, gstate, dec_state, fixed_tok, h, None,
+            zero_mask, valid)
+    np.asarray(pcm)
+    device_ms = (time.perf_counter() - t0) * 1000 / len(events)
+
     durations = sorted(e["ms"] for e in events)
     summary = {
         "mode": "tts", "model": model_name, "steps": len(events),
         "p50_ms": durations[len(durations) // 2],
         "p90_ms": durations[int(len(durations) * 0.9)],
         "frames_per_s": 1000.0 / max(durations[len(durations) // 2], 1e-9),
+        "device_only_ms": round(device_ms, 2),
+        "host_roundtrip_ms": round(durations[len(durations) // 2] - device_ms, 2),
         "realtime": durations[int(len(durations) * 0.9)] < 80.0,
+        "realtime_device_only": device_ms < 80.0,
     }
     if out_path:
         with open(out_path, "w") as f:
