@@ -267,11 +267,21 @@ def main():
     parser.add_argument("--port", type=int, default=8998)
     parser.add_argument("--checkpoint-dir", required=True)
     parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--kv-cache", default=None,
+                        choices=["model", "int8", "int4"],
+                        help="override the KV cache dtype: int8 halves KV "
+                             "memory; int4 quarters it (fused flash-decode "
+                             "kernel) — see BENCH_BATCH.md for the "
+                             "capacity/latency trade-offs")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
     mimi, mimi_params = info.get_mimi()
     lm, lm_params = info.get_moshi()
+    if args.kv_cache:
+        from dataclasses import replace
+        from ..models.lm import LMModel
+        lm = LMModel(replace(lm.config, kv_cache_dtype=args.kv_cache))
     tokenizer = None
     tok_path = Path(args.checkpoint_dir) / info.tokenizer_name
     if tok_path.exists():

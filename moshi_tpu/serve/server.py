@@ -352,6 +352,10 @@ def main():
     parser.add_argument("--log-dir", type=str, default=None,
                         help="save per-session token logs (safetensors)")
     parser.add_argument("--session-timeout", type=float, default=360.0)
+    parser.add_argument("--kv-cache", default=None,
+                        choices=["model", "int8", "int4"],
+                        help="override the KV cache dtype (memory/latency "
+                             "trade-off; see BENCH_BATCH.md)")
     parser.add_argument("--ssl", metavar="CERT_DIR", default=None,
                         help="serve https/wss (self-signed cert generated "
                              "in CERT_DIR if absent), like the reference "
@@ -363,6 +367,10 @@ def main():
     mimi, mimi_params = info.get_mimi()
     log("info", "loading moshi")
     lm, lm_params = info.get_moshi()
+    if args.kv_cache:
+        from dataclasses import replace
+        from ..models.lm import LMModel
+        lm = LMModel(replace(lm.config, kv_cache_dtype=args.kv_cache))
     tokenizer = None
     tok_path = Path(args.checkpoint_dir) / info.tokenizer_name
     if tok_path.exists():

@@ -15,6 +15,8 @@ Config example (TOML):
     type = "moshi"                    # moshi | batched_moshi | batched_asr | tts
     route = "/api/chat"
     checkpoint_dir = "/ckpt/moshiko"
+    kv_cache = "int4"                 # optional: model | int8 | int4
+                                      # (memory/capacity knob, BENCH_BATCH.md)
 
     [modules.asr]
     type = "batched_asr"
@@ -131,10 +133,19 @@ def build_module(name: str, mcfg: dict, seed: int):
         raise ValueError(f"module {name}: set checkpoint_dir or hf_repo")
     rng = jax.random.PRNGKey(seed)
 
+    def maybe_override_kv(lm):
+        kv = mcfg.get("kv_cache")
+        if kv:
+            from dataclasses import replace
+            from ..models.lm import LMModel
+            lm = LMModel(replace(lm.config, kv_cache_dtype=kv))
+        return lm
+
     if mtype == "moshi":
         from .server import ServerState
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()
+        lm = maybe_override_kv(lm)
         gen_cfg = dict(info.lm_gen_config)
         ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
         state = ServerState(info, mimi, mimi_params, lm, lm_params,
@@ -148,6 +159,7 @@ def build_module(name: str, mcfg: dict, seed: int):
         from .batched_moshi import BatchedMoshiState, handle_chat
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()
+        lm = maybe_override_kv(lm)
         state = BatchedMoshiState(mimi, mimi_params, lm, lm_params,
                                   _load_tokenizer(ckpt, info),
                                   mcfg.get("batch_size", 4), rng,
