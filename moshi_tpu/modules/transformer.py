@@ -774,23 +774,33 @@ class StreamingTransformer:
         x, cols = lax.scan(body, x, xs)
         kcols, vcols, kscols, vscols = cols  # [L, B, hd/2] / [L, B, H]
 
-        # deferred writes: one aligned-free DUS per slot covering all layers
+        # deferred writes, all layers at once
         L = c.num_layers
         hd2 = k_all.shape[2]
         H = c.num_kv_heads
         import sys as _sys
-        if getattr(_sys.modules[__name__], "_SKIP_INT4_WRITES", False):
-            B = 0  # perf-ablation hook (scripts only; never set in serving)
-        for b in range(B):
-            pos_b = wp[b]
-            k_all = lax.dynamic_update_slice(
-                k_all, kcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
-            v_all = lax.dynamic_update_slice(
-                v_all, vcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
-            ks_all = lax.dynamic_update_slice(
-                ks_all, kscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
-            vs_all = lax.dynamic_update_slice(
-                vs_all, vscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
+        skip = getattr(_sys.modules[__name__], "_SKIP_INT4_WRITES", False)
+        from ..ops.q4matmul import use_pallas
+        if skip:
+            pass  # perf-ablation hook (scripts only; never set in serving)
+        elif use_pallas() and c.kv_repeat == 1:
+            # fused DMA write kernel: the 4*B-op DUS chain below is
+            # op-latency bound (~2 ms/frame at B=8)
+            from ..ops.int4_attention import cache_write_int4
+            k_all, v_all, ks_all, vs_all = cache_write_int4(
+                wp, kcols, vcols, kscols, vscols,
+                k_all, v_all, ks_all, vs_all)
+        else:
+            for b in range(B):
+                pos_b = wp[b]
+                k_all = lax.dynamic_update_slice(
+                    k_all, kcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
+                v_all = lax.dynamic_update_slice(
+                    v_all, vcols[:, b].reshape(L, 1, hd2, 1), (0, b, 0, pos_b))
+                ks_all = lax.dynamic_update_slice(
+                    ks_all, kscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
+                vs_all = lax.dynamic_update_slice(
+                    vs_all, vscols[:, b].reshape(L, 1, H, 1), (0, b, 0, pos_b))
 
         new_state = dict(state)
         new_state.update(k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all,

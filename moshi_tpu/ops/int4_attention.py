@@ -163,3 +163,64 @@ def decode_attention_int4_stats(q, layer, k_all, v_all, k_scale, v_scale,
     )(jnp.asarray(layer, jnp.int32).reshape(1), qf, k_all, v_all,
       k_scale, v_scale, bias)
     return acc, m, l
+
+
+def _write_kernel(pos_ref, kc, vc, ksc, vsc, k_in, v_in, ks_in, vs_in,
+                  k_o, v_o, ks_o, vs_o):
+    """Grid (L, B): read the 128-lane cache tile containing slot b's ring
+    lane (block index from the prefetched positions), insert the new column,
+    write it back in place (aliased outputs)."""
+    b = pl.program_id(1)
+    lane = pos_ref[b] % 128
+    for col, tile_in, tile_out in ((kc, k_in, k_o), (vc, v_in, v_o),
+                                   (ksc, ks_in, ks_o), (vsc, vs_in, vs_o)):
+        rows = tile_in.shape[2]
+        sel = lax.broadcasted_iota(jnp.int32, (rows, 128), 1) == lane
+        tile_out[0, 0] = jnp.where(sel, col[0, 0], tile_in[0, 0])
+
+
+@jax.jit
+def cache_write_int4(pos, kcols, vcols, kscols, vscols,
+                     k_all, v_all, ks_all, vs_all):
+    """Write one frame's quantized columns into the packed caches in place.
+
+    pos: [B] int32 ring lanes; kcols/vcols: [L, B, hd/2] int8;
+    kscols/vscols: [L, B, H] bf16; caches as in decode_attention_int4_stats.
+    Returns the four updated caches (aliased).  Each grid step rewrites only
+    the 128-lane tile containing the slot's ring lane — XLA\'s
+    dynamic-update-slice at an arbitrary lane rewrites the whole lane extent
+    instead (~4 ms/frame at B=8; this kernel moves ~0.3 MB per slot-layer).
+    """
+    L, B, hd2 = kcols.shape
+    H = kscols.shape[-1]
+
+    def tile_spec(rows):
+        return pl.BlockSpec((1, 1, rows, 128),
+                            lambda l, b, s: (l, b, 0, s[b] // 128))
+
+    def col_spec(rows):
+        return pl.BlockSpec((1, 1, rows, 1), lambda l, b, s: (l, b, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B),
+        in_specs=[
+            col_spec(hd2), col_spec(hd2), col_spec(H), col_spec(H),
+            tile_spec(hd2), tile_spec(hd2), tile_spec(H), tile_spec(H),
+        ],
+        out_specs=[
+            tile_spec(hd2), tile_spec(hd2), tile_spec(H), tile_spec(H),
+        ],
+    )
+    return pl.pallas_call(
+        _write_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+            jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+            jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+    )(pos, kcols[..., None], vcols[..., None], kscols[..., None],
+      vscols[..., None], k_all, v_all, ks_all, vs_all)
