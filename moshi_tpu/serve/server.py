@@ -65,17 +65,82 @@ class ServerState:
         # on the 7B at ctx 3000).  Callers always rebind the returned state.
         self._encode = jax.jit(self.mimi.encode_step, donate_argnums=1)
         self._decode = jax.jit(self.mimi.decode_step, donate_argnums=1)
-        if self.colored_text:
-            self._step = jax.jit(self.lm_gen.step_with_text_prob,
-                                 donate_argnums=1)
-        else:
-            self._step = jax.jit(self.lm_gen.step, donate_argnums=1)
+        self._step = self._jit_step(self.lm_gen)
+        # per-session sampling configs (rust SessionConfigReq,
+        # stream_both.rs:93-155): each distinct override set compiles once
+        # and is memoized for later sessions
+        self._gen_cache: dict[tuple, tuple] = {(): (self.lm_gen, self._step)}
+        self._default_gen = (self.lm_gen, self._step)
+        self.max_steps = 4500  # rust cap (stream_both.rs:149)
+        self.session_seed = rng_seed
         self.reset()
+
+    def _jit_step(self, lm_gen):
+        fn = (lm_gen.step_with_text_prob if self.colored_text
+              else lm_gen.step)
+        return jax.jit(fn, donate_argnums=1)
+
+    # query-param name -> (LMGenConfig field, parser).  Reference names from
+    # client Conversation.tsx:58-66 / rust stream_both.rs:93-105.
+    _SESSION_PARAMS = {
+        "text_temperature": ("temp_text", float),
+        "text_topk": ("top_k_text", int),
+        "audio_temperature": ("temp", float),
+        "audio_topk": ("top_k", int),
+        "pad_mult": ("padding_bonus", float),
+        "repetition_penalty": ("text_rep_penalty", float),
+        "repetition_penalty_context": ("text_rep_context", int),
+    }
+
+    def apply_session_config(self, query) -> dict:
+        """Select (or build) the LMGen for this session's sampling overrides.
+
+        `query` is a str->str mapping (ws URL query params).  Unknown keys
+        are ignored; seeds and max_steps are handled outside LMGenConfig.
+        Returns the effective session config (the rust MetaData analog) for
+        the metadata echo."""
+        from dataclasses import replace as _replace
+        overrides = {}
+        for name, (field, parse) in self._SESSION_PARAMS.items():
+            if name in query:
+                try:
+                    overrides[field] = parse(query[name])
+                except ValueError:
+                    pass
+        seed = self.rng_seed
+        for name in ("text_seed", "audio_seed"):
+            if name in query:
+                try:
+                    # one PRNG drives both text and audio sampling here; fold
+                    # both seeds in so either changes the stream
+                    seed = (seed * 1000003 + int(query[name])) & 0x7FFFFFFF
+                except ValueError:
+                    pass
+        self.session_seed = seed
+        try:
+            self.max_steps = min(4500, int(query.get("max_steps", 4500)))
+        except ValueError:
+            self.max_steps = 4500
+        key = tuple(sorted(overrides.items()))
+        if key not in self._gen_cache:
+            gen = LMGen(self.lm, _replace(self.lm_gen.gc, **overrides))
+            self._gen_cache[key] = (gen, self._jit_step(gen))
+            log("info", f"compiled session config {overrides}")
+        self.lm_gen, self._step = self._gen_cache[key]
+        c = self.lm_gen.gc
+        return {"text_temperature": c.temp_text, "text_topk": c.top_k_text,
+                "audio_temperature": c.temp, "audio_topk": c.top_k,
+                "pad_mult": c.padding_bonus,
+                "repetition_penalty": c.text_rep_penalty,
+                "repetition_penalty_context": c.text_rep_context,
+                "max_steps": self.max_steps, "seed": seed}
 
     def reset(self):
         self.enc_state = self.mimi.init_encode_state(1)
         self.dec_state = self.mimi.init_decode_state(1)
-        self.gen_state = self.lm_gen.init_state(1, jax.random.PRNGKey(self.rng_seed))
+        self.gen_state = self.lm_gen.init_state(
+            1, jax.random.PRNGKey(self.session_seed))
+        self.steps_done = 0
 
     def warmup(self):
         """Compile all jitted steps with 4 zero frames (server.py:62-72)."""
@@ -97,6 +162,7 @@ class ServerState:
         """One 80 ms frame: encode -> lm step -> decode.
         Returns (pcm [T] float32 | None, text_token | None, confidence |
         None — the sampled text token's probability when colored_text)."""
+        self.steps_done += 1
         codes, self.enc_state = self._encode(self.mimi_params, self.enc_state,
                                              jnp.asarray(chunk)[None, None])
         prob = None
@@ -180,12 +246,22 @@ class ServerState:
                                     self.mimi.sample_rate)
             opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
                                     self.mimi.sample_rate)
+            query = dict(request.rel_url.query)
+            session_cfg = self.apply_session_config(query)
             self.reset()
             self.session_tokens = []
             # strict 8-byte handshake payload (rust/protocol.md:11-13);
             # the bare-b"\x00" Python-reference form is still accepted
             # by our clients
             await ws.send_bytes(proto.handshake())
+            # echo the effective session config (rust MetaData,
+            # stream_both.rs:158-176) — only when the client passed session
+            # params, so bare clients see the reference wire sequence
+            known = (set(self._SESSION_PARAMS) |
+                     {"text_seed", "audio_seed", "max_steps"})
+            if known & set(query):
+                await ws.send_bytes(proto.msg(
+                    proto.MT_METADATA, json.dumps(session_cfg).encode()))
             try:
                 await asyncio.wait_for(
                     self._recv_loop(ws, opus_reader, opus_writer),
@@ -230,6 +306,10 @@ class ServerState:
                         skip_frames -= 1
                         continue
                     out_pcm, text_token, prob = self.step_frame(chunk)
+                    if self.steps_done >= self.max_steps:
+                        log("info", f"max_steps {self.max_steps} reached")
+                        await ws.close()
+                        return
                     if out_pcm is None:
                         continue
                     await ws.send_bytes(
@@ -326,6 +406,10 @@ class ServerState:
                     skip_frames -= 1
                     continue
                 out_pcm, text_token, prob = self.step_frame(chunk)
+                if self.steps_done >= self.max_steps:
+                    log("info", f"max_steps {self.max_steps} reached")
+                    await ws.close()
+                    return
                 if out_pcm is None:
                     continue
                 opus_bytes = opus_writer.append_pcm(

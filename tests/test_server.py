@@ -494,3 +494,86 @@ def test_image_embeddings_mt8():
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_session_config_query_params(tiny_checkpoint):
+    """Per-session sampling params via ws query params (reference
+    Conversation.tsx:58-66 / rust SessionConfigReq, stream_both.rs:93-155):
+    the server selects a memoized LMGen for the overrides, echoes the
+    effective config as MT-4 metadata, and enforces max_steps."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve import protocol as proto
+    from moshi_tpu.serve.server import ServerState
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+    default_cfg = state.lm_gen.gc
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            ws = await client.ws_connect(
+                "/api/chat?text_temperature=0.3&audio_topk=17"
+                "&pad_mult=2.5&text_seed=42&max_steps=5")
+            assert (await ws.receive_bytes())[:1] == b"\x00"
+            meta = json.loads((await asyncio.wait_for(
+                ws.receive_bytes(), timeout=10))[1:])
+            assert meta["text_temperature"] == 0.3
+            assert meta["audio_topk"] == 17
+            assert meta["pad_mult"] == 2.5
+            assert meta["max_steps"] == 5
+            # the session's LMGen carries the overrides; others defaulted
+            c = state.lm_gen.gc
+            assert c.temp_text == 0.3 and c.top_k == 17
+            assert c.padding_bonus == 2.5
+            assert c.temp == default_cfg.temp
+            # drive raw-pcm frames: session must close at max_steps
+            await ws.send_bytes(bytes([4]) + json.dumps(
+                {"raw_pcm": True}).encode())
+            rs = np.random.RandomState(0)
+            closed = False
+            for _ in range(12):
+                frame = (rs.randn(1920) * 0.05).astype(np.float32)
+                await ws.send_bytes(bytes([10]) + frame.tobytes())
+                try:
+                    while True:
+                        m = await asyncio.wait_for(ws.receive(), timeout=0.2)
+                        if m.type in (aiohttp.WSMsgType.CLOSE,
+                                      aiohttp.WSMsgType.CLOSED,
+                                      aiohttp.WSMsgType.CLOSING):
+                            closed = True
+                            break
+                except asyncio.TimeoutError:
+                    pass
+                if closed:
+                    break
+            assert closed, "session not closed after max_steps frames"
+            await ws.close()
+
+            # a second session with NO params gets the defaults back and
+            # does not see a config echo before the raw-pcm reply
+            ws2 = await client.ws_connect("/api/chat")
+            assert (await ws2.receive_bytes())[:1] == b"\x00"
+            assert state.lm_gen.gc == default_cfg
+            await ws2.send_bytes(bytes([4]) + json.dumps(
+                {"raw_pcm": True}).encode())
+            meta2 = json.loads((await asyncio.wait_for(
+                ws2.receive_bytes(), timeout=10))[1:])
+            assert meta2["raw_pcm"] is True
+            await ws2.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
