@@ -32,7 +32,19 @@ from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, 
 
 class BatchedMoshiState:
     def __init__(self, mimi, mimi_params, lm, lm_params, text_tokenizer,
-                 batch_size: int, rng: jax.Array, **lm_gen_kwargs):
+                 batch_size: int, rng: jax.Array, mimi_dtype=jnp.float32,
+                 **lm_gen_kwargs):
+        # mimi_dtype=bf16 is a serving knob: the codec is ~27-29% of the
+        # big-batch frame in f32 (15.8 ms of 58.7 at B=48, 21.7 of 75.4 at
+        # B=64 — BENCH_BATCH.md) and bf16 halves it.  Codes are no longer
+        # bit-exact vs the reference (RVQ argmin in bf16), so f32 stays the
+        # default; opt in via --mimi-dtype bf16 / worker TOML.
+        md = jnp.dtype(mimi_dtype)
+        if md != jnp.float32:
+            mimi_params = jax.tree.map(
+                lambda x: x.astype(md)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
+        self.mimi_dtype = md
         self.mimi, self.mimi_params = mimi, mimi_params
         self.lm, self.lm_params = lm, lm_params
         self.text_tokenizer = text_tokenizer
@@ -40,8 +52,8 @@ class BatchedMoshiState:
         self.frame_size = mimi.frame_size
         self.lm_gen = LMGen(lm, LMGenConfig.from_dict(lm_gen_kwargs))
 
-        self.enc_state = mimi.init_encode_state(batch_size)
-        self.dec_state = mimi.init_decode_state(batch_size)
+        self.enc_state = mimi.init_encode_state(batch_size, md)
+        self.dec_state = mimi.init_decode_state(batch_size, md)
         self.gen_state = self.lm_gen.init_state(batch_size, rng)
         self.skip_frames = np.zeros((batch_size,), np.int32)
 
@@ -55,14 +67,14 @@ class BatchedMoshiState:
 
         def frame(lm_params, mimi_params, gen_state, enc_state, dec_state,
                   pcm, exec_mask):
-            codes, enc_state = mimi.encode_step(mimi_params, enc_state, pcm,
-                                                exec_mask)
+            codes, enc_state = mimi.encode_step(mimi_params, enc_state,
+                                                pcm.astype(md), exec_mask)
             out, gen_state = self.lm_gen.step(lm_params, gen_state,
                                               codes[:, :n_in], exec_mask)
             audio = jnp.clip(out[:, 1:1 + mimi.num_codebooks], 0, None)
             pcm_out, dec_state = mimi.decode_step(mimi_params, dec_state, audio,
                                                   exec_mask)
-            return out, pcm_out, gen_state, enc_state, dec_state
+            return out, pcm_out.astype(jnp.float32), gen_state, enc_state, dec_state
 
         # Donate the streaming states: without donation the KV cache exists
         # twice (input + output buffers) during the step, which halves the
@@ -82,9 +94,11 @@ class BatchedMoshiState:
                     continue
                 mk = m_model if key == "transformer" else mask
                 new_gen[key] = masked_reset(gen_state[key], fresh[key], mk)
-            enc_state = masked_reset(enc_state, mimi.init_encode_state(batch_size),
+            enc_state = masked_reset(enc_state,
+                                     mimi.init_encode_state(batch_size, md),
                                      mask)
-            dec_state = masked_reset(dec_state, mimi.init_decode_state(batch_size),
+            dec_state = masked_reset(dec_state,
+                                     mimi.init_decode_state(batch_size, md),
                                      mask)
             return new_gen, enc_state, dec_state
 
@@ -273,6 +287,11 @@ def main():
                              "memory; int4 quarters it (fused flash-decode "
                              "kernel) — see BENCH_BATCH.md for the "
                              "capacity/latency trade-offs")
+    parser.add_argument("--mimi-dtype", default="f32",
+                        choices=["f32", "bf16"],
+                        help="bf16 halves the codec share of the frame at "
+                             "large batch (codes no longer bit-exact vs "
+                             "the reference)")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
@@ -290,6 +309,8 @@ def main():
 
     state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, tokenizer,
                               args.batch_size, jax.random.PRNGKey(0),
+                              mimi_dtype=(jnp.bfloat16 if args.mimi_dtype ==
+                                          "bf16" else jnp.float32),
                               **info.lm_gen_config)
     state.warmup()
 

@@ -17,6 +17,8 @@ Config example (TOML):
     checkpoint_dir = "/ckpt/moshiko"
     kv_cache = "int4"                 # optional: model | int8 | int4
                                       # (memory/capacity knob, BENCH_BATCH.md)
+    mimi_dtype = "bf16"               # optional (batched_moshi): halves the
+                                      # codec share at large batch
 
     [modules.asr]
     type = "batched_asr"
@@ -42,6 +44,7 @@ import tomllib
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 
 from .metrics import REGISTRY
 
@@ -163,6 +166,9 @@ def build_module(name: str, mcfg: dict, seed: int):
         state = BatchedMoshiState(mimi, mimi_params, lm, lm_params,
                                   _load_tokenizer(ckpt, info),
                                   mcfg.get("batch_size", 4), rng,
+                                  mimi_dtype=(jnp.bfloat16
+                                              if mcfg.get("mimi_dtype") ==
+                                              "bf16" else jnp.float32),
                                   **info.lm_gen_config)
         state.warmup()
 

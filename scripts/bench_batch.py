@@ -21,7 +21,8 @@ import time
 
 
 def run_combo(batch: int, kv: str, context: int = 3000,
-              weights: str = "int8", steps: int = 30, warmup: int = 5) -> dict:
+              weights: str = "int8", steps: int = 30, warmup: int = 5,
+              mimi_dtype: str = "f32") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,8 +41,9 @@ def run_combo(batch: int, kv: str, context: int = 3000,
         jax.random.PRNGKey(0))
     lm_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+    md = jnp.bfloat16 if mimi_dtype == "bf16" else jnp.float32
     mimi = MimiModel(mimi_v0_1_config(num_codebooks=config.dep_q))
-    mshapes = jax.eval_shape(lambda k: mimi.init_params(k, jnp.float32),
+    mshapes = jax.eval_shape(lambda k: mimi.init_params(k, md),
                              jax.random.PRNGKey(0))
     mimi_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), mshapes)
 
@@ -51,15 +53,16 @@ def run_combo(batch: int, kv: str, context: int = 3000,
     fs = mimi.frame_size
 
     lm_state = gen.init_state(B, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    enc_state = mimi.init_encode_state(B)
-    dec_state = mimi.init_decode_state(B)
+    enc_state = mimi.init_encode_state(B, md)
+    dec_state = mimi.init_decode_state(B, md)
 
     # donate the streaming states: without donation the KV cache exists
     # twice (input + output buffers) during the step, which halves the max
     # batch that fits in HBM
     @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
     def frame(lm_params, mimi_params, lm_state, enc_state, dec_state, pcm):
-        codes, enc_state = mimi.encode_step(mimi_params, enc_state, pcm)
+        codes, enc_state = mimi.encode_step(mimi_params, enc_state,
+                                            pcm.astype(md))
         kin = codes[:, :n_in] if codes.shape[1] >= n_in else jnp.tile(codes, (1, n_in, 1))
         out, lm_state = gen.step(lm_params, lm_state, kin)
         audio_codes = jnp.clip(out[:, 1:1 + mimi.num_codebooks], 0, None)
@@ -81,6 +84,7 @@ def run_combo(batch: int, kv: str, context: int = 3000,
     ms = (time.perf_counter() - t0) * 1000.0 / steps
     return {
         "batch": B, "kv_cache": kv, "context": context, "weights": weights,
+        "mimi": mimi_dtype,
         "ms_per_frame": round(ms, 3),
         "ms_per_user": round(ms / B, 3),
         "users_per_chip": round(B * 80.0 / ms, 2),
@@ -132,4 +136,5 @@ if __name__ == "__main__":
         kv = sys.argv[2] if len(sys.argv) > 2 else "int8"
         ctx = int(sys.argv[3]) if len(sys.argv) > 3 else 3000
         wq = sys.argv[4] if len(sys.argv) > 4 else "int8"
-        print(json.dumps(run_combo(B, kv, ctx, wq)))
+        mimi_dtype = sys.argv[5] if len(sys.argv) > 5 else "f32"
+        print(json.dumps(run_combo(B, kv, ctx, wq, mimi_dtype=mimi_dtype)))

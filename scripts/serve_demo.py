@@ -32,6 +32,7 @@ parser.add_argument("--seconds", type=int, default=16)
 parser.add_argument("--churn", action="store_true",
                     help="half the slots cycle join/leave every ~20 s")
 parser.add_argument("--kv", default="int8", choices=["int8", "int4"])
+parser.add_argument("--mimi-dtype", default="f32", choices=["f32", "bf16"])
 args = parser.parse_args()
 B = args.batch
 SECONDS = args.seconds
@@ -50,7 +51,9 @@ mimi_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), mshapes)
 
 print("building state + warmup...", flush=True)
 state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None, B,
-                          jax.random.PRNGKey(0))
+                          jax.random.PRNGKey(0),
+                          mimi_dtype=(jnp.bfloat16 if args.mimi_dtype ==
+                                      "bf16" else jnp.float32))
 t0 = time.time()
 state.warmup()
 print(f"warmup done in {time.time() - t0:.1f}s", flush=True)

@@ -138,3 +138,38 @@ def test_parity_with_reference_mimi():
     np.testing.assert_array_equal(np.concatenate(codes_s, 2), codes_ref_s)
     np.testing.assert_allclose(np.concatenate(audio_s, 2), audio_ref_s,
                                rtol=5e-3, atol=1e-4)
+
+
+def test_bf16_mimi_serving_mode():
+    """bf16 codec (the batched-serving `mimi_dtype` knob): the whole
+    encode->decode streaming loop runs in bf16, produces valid codes and
+    finite audio, and agrees with the f32 path on the vast majority of
+    codes (RVQ argmin in bf16 may flip near-ties — that is the documented
+    trade-off vs the bit-exact default)."""
+    cfg = tiny_mimi_config()
+    model = MimiModel(cfg)
+    params32 = model.init_params(jax.random.PRNGKey(0))
+    params16 = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, params32)
+    B, nframes = 2, 6
+    fs = cfg.frame_size
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, nframes * fs)) * 0.3
+
+    enc32 = model.init_encode_state(B)
+    enc16 = model.init_encode_state(B, jnp.bfloat16)
+    dec16 = model.init_decode_state(B, jnp.bfloat16)
+    agree = total = 0
+    for f in range(nframes):
+        chunk = x[:, :, f * fs:(f + 1) * fs]
+        c32, enc32 = model.encode_step(params32, enc32, chunk)
+        c16, enc16 = model.encode_step(params16, enc16,
+                                       chunk.astype(jnp.bfloat16))
+        a16, dec16 = model.decode_step(params16, dec16, c16)
+        assert a16.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(a16, np.float32)).all()
+        assert (np.asarray(c16) >= 0).all()
+        assert (np.asarray(c16) < cfg.quantizer.bins).all()
+        agree += int((np.asarray(c16) == np.asarray(c32)).sum())
+        total += c32.size
+    assert agree / total > 0.75, f"bf16/f32 code agreement {agree}/{total}"

@@ -418,3 +418,44 @@ def test_batched_tts_ops_are_queued_not_immediate():
         assert b not in st.unready and not st.pending_ops
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(drive())
+
+
+def test_batched_moshi_bf16_mimi():
+    """mimi_dtype=bf16 serving knob: the batched frame runs the codec in
+    bf16 (params + streaming state), per-slot resets keep dtypes, and the
+    wire output stays f32."""
+    from moshi_tpu.serve.batched_moshi import BatchedMoshiState
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+
+    cfg = tiny_lm_config()
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+
+    state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                              batch_size=2, rng=jax.random.PRNGKey(2),
+                              mimi_dtype=jnp.bfloat16)
+    state.warmup()
+    assert all(v.dtype != jnp.float32
+               for v in jax.tree.leaves(state.mimi_params)
+               if jnp.issubdtype(v.dtype, jnp.floating))
+
+    fs = state.frame_size
+    pcm = jnp.asarray(np.random.RandomState(0).randn(2, 1, fs) * 0.1,
+                      jnp.float32)
+    mask = jnp.asarray([True, False])
+    out, pcm_out, state.gen_state, state.enc_state, state.dec_state = \
+        state._frame(state.lm_params, state.mimi_params, state.gen_state,
+                     state.enc_state, state.dec_state, pcm, mask)
+    assert pcm_out.dtype == jnp.float32
+    # only the active slot's audio goes on the wire; a masked slot's lane
+    # computes on frozen state and may emit garbage (it is reset on acquire)
+    assert np.isfinite(np.asarray(pcm_out[0])).all()
+    # per-slot reset keeps the bf16 streaming state dtypes
+    state.gen_state, state.enc_state, state.dec_state = state._reset(
+        state.gen_state, state.enc_state, state.dec_state, mask)
+    enc_dtypes = {v.dtype for v in jax.tree.leaves(state.enc_state)
+                  if jnp.issubdtype(v.dtype, jnp.floating)}
+    assert jnp.float32 not in enc_dtypes
