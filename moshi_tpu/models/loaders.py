@@ -379,9 +379,76 @@ def _emb_params(state: dict, prefix: str) -> dict:
     return p
 
 
+def rust_state_to_torch(state: dict, schedule=None) -> dict:
+    """Remap the rust ecosystem's per-slice on-disk names to the fused
+    PyTorch layout `lm_params_from_torch_state` consumes.
+
+    Rust checkpoints (gguf or safetensors) store one full weight set per
+    depformer slice under `depformer.{i}.` (lm.rs:510-532 `vb.pp(slice_idx)`;
+    the layout `scripts/import_rust.py` produces).  The torch layout fuses
+    attn projections across steps (`chunk(max_df_steps)`) and indexes gating
+    per step.  With a weights-per-step `schedule`, the rust file duplicates
+    shared weights into each slice — the first slice of each unique schedule
+    value is taken.
+    """
+    import re
+    out, per_slice, slices = {}, {}, set()
+    for k, v in state.items():
+        m = re.match(r"depformer\.(\d+)\.(.+)$", k)
+        if not m:
+            out[k] = v
+            continue
+        i, rest = int(m.group(1)), m.group(2)
+        slices.add(i)
+        per_slice[(i, rest)] = v
+    if not slices:
+        return out
+    S = max(slices) + 1
+    # unique weight-step -> representative slice index
+    if schedule is not None:
+        reps = []
+        for step in range(max(schedule) + 1):
+            reps.append(schedule.index(step))
+    else:
+        reps = list(range(S))
+    # linear_in is shared per unique weight step (import_rust.py writes
+    # depformer_in[tch_idx] into every slice); linear_out and emb are
+    # genuinely per slice
+    for w, r in enumerate(reps):
+        out[f"depformer_in.{w}.weight"] = per_slice[(r, "linear_in.weight")]
+    for i in range(S):
+        out[f"linears.{i}.weight"] = per_slice[(i, "linear_out.weight")]
+        emb = "depformer_text_emb" if i == 0 else f"depformer_emb.{i - 1}"
+        for sub in ("weight", "low_rank.weight"):
+            if (i, f"emb.{sub}") in per_slice:
+                out[f"{emb}.{sub}"] = per_slice[(i, f"emb.{sub}")]
+    layer_ids = sorted({int(m.group(1)) for (_, r) in per_slice
+                        for m in [re.match(r"transformer\.layers\.(\d+)\.", r)]
+                        if m})
+    for l in layer_ids:
+        base = f"transformer.layers.{l}."
+        dst = f"depformer.layers.{l}."
+        for proj in ("self_attn.in_proj_weight", "self_attn.out_proj.weight"):
+            out[dst + proj] = jnp.concatenate(
+                [per_slice[(r, base + proj)] for r in reps], axis=0)
+        for w, r in enumerate(reps):
+            for which in ("linear_in", "linear_out"):
+                out[dst + f"gating.{w}.{which}.weight"] = \
+                    per_slice[(r, base + f"gating.{which}.weight")]
+        for nrm in ("norm1", "norm2"):
+            for sub in ("alpha", "weight", "bias"):
+                if (0, base + f"{nrm}.{sub}") in per_slice:
+                    out[dst + f"{nrm}.{sub}"] = per_slice[(0, base + f"{nrm}.{sub}")]
+    return out
+
+
 def lm_params_from_torch_state(model: LMModel, state: dict,
                                dtype=jnp.bfloat16) -> dict:
     c = model.config
+    if any(k.startswith("depformer.0.") for k in state):
+        state = rust_state_to_torch(
+            state, schedule=(list(c.depformer_weights_per_step_schedule)
+                             if c.depformer_weights_per_step_schedule else None))
     state = {k: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
              for k, v in state.items()}
     p = {

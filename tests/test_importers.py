@@ -535,3 +535,64 @@ def test_import_helium_hf_llama(tmp_path):
                          dtype=jnp.float32)
     assert len(toks) == 6
     assert all(0 <= tk < vocab for tk in toks)
+
+
+def _torch_to_rust_layout(state: dict, W: int, dep_q: int,
+                          dep_layers: int, schedule=None) -> dict:
+    """Forward direction of reference scripts/import_rust.py: fused torch
+    layout -> per-slice rust on-disk names (one full weight set per slice,
+    schedule duplicates shared weights)."""
+    out = {}
+    for k, v in state.items():
+        if not (k.startswith("depformer") or k.startswith("linears.")):
+            out[k] = v
+    for i in range(dep_q):
+        w = schedule[i] if schedule is not None else i
+        base = f"depformer.{i}."
+        out[base + "linear_in.weight"] = state[f"depformer_in.{w}.weight"]
+        out[base + "linear_out.weight"] = state[f"linears.{i}.weight"]
+        emb = "depformer_text_emb" if i == 0 else f"depformer_emb.{i - 1}"
+        out[base + "emb.weight"] = state[f"{emb}.weight"]
+        for lay in range(dep_layers):
+            src = f"depformer.layers.{lay}."
+            dst = base + f"transformer.layers.{lay}."
+            out[dst + "self_attn.in_proj_weight"] = \
+                state[src + f"self_attn.in_projs.{w}.weight"]
+            out[dst + "self_attn.out_proj.weight"] = \
+                state[src + f"self_attn.out_projs.{w}.weight"]
+            for which in ("linear_in", "linear_out"):
+                out[dst + f"gating.{which}.weight"] = \
+                    state[src + f"gating.{w}.{which}.weight"]
+            for nrm in ("norm1", "norm2"):
+                out[dst + f"{nrm}.alpha"] = state[src + f"{nrm}.alpha"]
+    return out
+
+
+def test_rust_layout_import():
+    """Rust on-disk per-slice names (lm.rs vb.pp(slice_idx); what published
+    rust safetensors/gguf checkpoints contain) load through
+    lm_params_from_torch_state bit-exactly, with and without a
+    weights-per-step schedule."""
+    import export_torch
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.loaders import lm_params_from_torch_state
+
+    for schedule in (None, (0, 1, 1, 2)):
+        dep_q = 2 if schedule is None else 4
+        over = dict(dep_q=dep_q, n_q=dep_q + 2,
+                    delays=(0,) * (dep_q + 3))
+        if schedule is not None:
+            over["depformer_weights_per_step_schedule"] = schedule
+        cfg = tiny_lm_config(**over)
+        model = LMModel(cfg)
+        params = model.init_params(jax.random.PRNGKey(5), dtype=jnp.float32)
+        state = export_torch.lm_params_to_torch_state(model, params)
+        state = {k: jnp.asarray(v) for k, v in state.items()}
+        W = (max(schedule) + 1) if schedule is not None else dep_q
+        rust = _torch_to_rust_layout(state, W, dep_q,
+                                     cfg.depformer_num_layers,
+                                     list(schedule) if schedule else None)
+        back = lm_params_from_torch_state(model, rust, dtype=jnp.float32)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6),
+            params, back)
