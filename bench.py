@@ -59,10 +59,10 @@ def build_lm(name: str):
     return model, zeros_like_tree(shapes)
 
 
-def build_mimi(num_codebooks: int):
+def build_mimi(num_codebooks: int, dtype=jnp.float32):
     from moshi_tpu.models.mimi import MimiModel, mimi_v0_1_config
     model = MimiModel(mimi_v0_1_config(num_codebooks=num_codebooks))
-    shapes = jax.eval_shape(lambda k: model.init_params(k, jnp.float32),
+    shapes = jax.eval_shape(lambda k: model.init_params(k, dtype),
                             jax.random.PRNGKey(0))
     params = zeros_like_tree(shapes)
     return model, params
@@ -72,17 +72,24 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
                       warmup: int = 10) -> dict:
     from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
 
+    # bf16 codec: the recommended serving config (--mimi-dtype bf16,
+    # BENCH_BATCH.md) — ~0.6 ms/frame at B=1, up to 18 ms at B=64
+    mimi_dtype = jnp.float32
+    metric_name = lm_name
+    if lm_name.endswith("_bf16mimi"):
+        lm_name = lm_name.removesuffix("_bf16mimi")
+        mimi_dtype = jnp.bfloat16
     lm, lm_params = build_lm(lm_name)
     c = lm.config
     n_in = c.num_codebooks - c.dep_q - 1
-    mimi, mimi_params = build_mimi(max(c.dep_q, n_in))
+    mimi, mimi_params = build_mimi(max(c.dep_q, n_in), mimi_dtype)
     gen = LMGen(lm, LMGenConfig(use_sampling=True))
 
     B = 1
     fs = mimi.frame_size
     lm_state = gen.init_state(B, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    enc_state = mimi.init_encode_state(B)
-    dec_state = mimi.init_decode_state(B)
+    enc_state = mimi.init_encode_state(B, mimi_dtype)
+    dec_state = mimi.init_decode_state(B, mimi_dtype)
 
     # donate the streaming states: without donation XLA must copy the ring
     # KV cache every step instead of scattering in place (~4 ms/frame at
@@ -98,7 +105,7 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
         pcm_out, dec_state = mimi.decode_step(mimi_params, dec_state, audio_codes)
         return lm_state, enc_state, dec_state, pcm_out
 
-    pcm = jnp.zeros((B, 1, fs), jnp.float32)
+    pcm = jnp.zeros((B, 1, fs), mimi_dtype)
     for _ in range(warmup):
         lm_state, enc_state, dec_state, pcm_out = frame(
             lm_params, mimi_params, lm_state, enc_state, dec_state, pcm)
@@ -117,7 +124,7 @@ def bench_full_duplex(lm_name: str = "moshi_2b", steps: int = 50,
             lm_params, mimi_params, lm_state, enc_state, dec_state, pcm)
     np.asarray(pcm_out)
     sustained = (time.perf_counter() - t0) * 1000.0 / steps
-    return {"metric": f"{lm_name}_full_duplex_step_ms", "value": round(sustained, 3),
+    return {"metric": f"{metric_name}_full_duplex_step_ms", "value": round(sustained, 3),
             "unit": "ms", "vs_baseline": round(sustained / 80.0, 4)}
 
 
@@ -125,7 +132,7 @@ def main():
     # q4 (int4-bitcast Pallas kernel, depformer int8) is the fastest B=1
     # config: 19.7 ms/frame vs 21.0 for int8 (BENCH_BATCH.md), at 4 GB
     # weights; the reference's own MLX stack serves q4 as a first-class mode.
-    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_7b_int4"
+    lm_name = sys.argv[1] if len(sys.argv) > 1 else "moshi_7b_int4_bf16mimi"
     try:
         result = bench_full_duplex(lm_name)
     except Exception as e:  # noqa: BLE001 — fall back to a smaller model on OOM

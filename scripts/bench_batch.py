@@ -94,14 +94,21 @@ def run_combo(batch: int, kv: str, context: int = 3000,
 
 def sweep():
     results = []
-    combos = ([(B, kv, 3000, "int8") for B in (1, 2, 4, 8, 16)
+    combos = ([(B, kv, 3000, "int8", "f32") for B in (1, 2, 4, 8, 16)
                for kv in ("model", "int8")]
-              + [(1, "model", 3000, "int4"), (8, "int8", 3000, "int4"),
-                 (16, "int8", 2000, "int4"), (32, "int8", 750, "int4"),
-                 (32, "int8", 750, "int8")])
-    for B, kv, ctx, wq in combos:
+              + [(1, "model", 3000, "int4", "f32"),
+                 (8, "int8", 3000, "int4", "f32"),
+                 (16, "int8", 2000, "int4", "f32"),
+                 (32, "int8", 750, "int4", "f32"),
+                 (32, "int8", 750, "int8", "f32"),
+                 # round-3 headline points (int4 KV + bf16 codec)
+                 (1, "model", 3000, "int4", "bf16"),
+                 (16, "int4", 3000, "int8", "bf16"),
+                 (48, "int4", 1000, "int8", "bf16"),
+                 (64, "int4", 750, "int8", "bf16")])
+    for B, kv, ctx, wq, md in combos:
         if True:
-            cmd = [sys.executable, __file__, str(B), kv, str(ctx), wq]
+            cmd = [sys.executable, __file__, str(B), kv, str(ctx), wq, md]
             import os
             env = dict(os.environ)
             # keep any plugin paths (e.g. the axon TPU plugin's sitecustomize)
