@@ -153,7 +153,9 @@ _NO_QUANT = re.compile(r"(norm|alpha|layer_scale|learnt_padding|lora)")
 
 
 def export_model(ckpt_dir: Path, out_file: Path, bits: int = 4,
-                 group_size: int = 32, quantize: bool = True) -> Path:
+                 group_size: int = 32, quantize: bool = True,
+                 lora_weights: Path | None = None,
+                 lora_scaling: float = 2.0) -> Path:
     from safetensors.numpy import load_file, save_file
 
     # the canonical mlx (bits, group_size) pairs; other pairs can be
@@ -165,6 +167,16 @@ def export_model(ckpt_dir: Path, out_file: Path, bits: int = 4,
     state = load_file(str(ckpt_dir / config.get("moshi_name",
                                                 "model.safetensors")))
     state = {k: np.asarray(v) for k, v in state.items()}
+    if lora_weights is not None:
+        # fuse-then-export (reference scripts/import_mlx_lora.py:
+        # get_moshi(fuse_lora=True) before the mlx name mapping)
+        import jax.numpy as jnp
+        from moshi_tpu.models.lora import fuse_lora_state
+        lora = {k: jnp.asarray(v)
+                for k, v in load_file(str(lora_weights)).items()}
+        state = {k: jnp.asarray(v) for k, v in state.items()}
+        state = fuse_lora_state(state, lora, lora_scaling)
+        state = {k: np.asarray(v) for k, v in state.items()}
     dep_q = config.get("dep_q", 8)
     schedule = config.get("depformer_weights_per_step_schedule")
     mlx = torch_to_mlx_names(state, dep_q, schedule)
@@ -199,9 +211,14 @@ def main():
     parser.add_argument("--bits", type=int, default=4, choices=(2, 4, 8))
     parser.add_argument("--group-size", type=int, default=32)
     parser.add_argument("--no-quant", action="store_true")
+    parser.add_argument("--lora", type=Path, default=None,
+                        help="LoRA safetensors to fuse before export "
+                             "(import_mlx_lora.py analog)")
+    parser.add_argument("--lora-scaling", type=float, default=2.0)
     args = parser.parse_args()
     out = export_model(args.ckpt_dir, args.out_file, args.bits,
-                       args.group_size, quantize=not args.no_quant)
+                       args.group_size, quantize=not args.no_quant,
+                       lora_weights=args.lora, lora_scaling=args.lora_scaling)
     print(f"exported to {out}")
 
 

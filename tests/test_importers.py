@@ -596,3 +596,40 @@ def test_rust_layout_import():
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6),
             params, back)
+
+
+def test_export_mlx_lora_fuse(tmp_path):
+    """export_mlx --lora fuses adapters before the mlx name mapping
+    (reference scripts/import_mlx_lora.py: get_moshi(fuse_lora=True))."""
+    import export_mlx
+    import export_torch
+    from safetensors.numpy import save_file, load_file
+    from moshi_tpu.models.lm import LMModel
+
+    cfg = tiny_lm_config()
+    model = LMModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(7), dtype=jnp.float32)
+    state = export_torch.lm_params_to_torch_state(model, params)
+    state = {k: np.asarray(v, np.float32) for k, v in state.items()}
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    save_file(state, str(ckpt / "model.safetensors"))
+    (ckpt / "config.json").write_text(json.dumps(
+        {"moshi_name": "model.safetensors", "dep_q": cfg.dep_q}))
+
+    rs = np.random.RandomState(0)
+    key = "text_linear.weight"
+    rank, scaling = 2, 2.0
+    A = rs.randn(rank, state[key].shape[1]).astype(np.float32) * 0.1
+    Bw = rs.randn(state[key].shape[0], rank).astype(np.float32) * 0.1
+    lora_path = tmp_path / "lora.safetensors"
+    save_file({"text_linear.lora_A.weight": A,
+               "text_linear.lora_B.weight": Bw}, str(lora_path))
+
+    out = export_mlx.export_model(ckpt, tmp_path / "mlx.safetensors",
+                                  quantize=False, lora_weights=lora_path,
+                                  lora_scaling=scaling)
+    mlx = load_file(str(out))
+    np.testing.assert_allclose(mlx["text_linear.weight"],
+                               state[key] + scaling * (Bw @ A),
+                               rtol=1e-5, atol=1e-6)
