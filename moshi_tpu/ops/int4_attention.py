@@ -169,14 +169,25 @@ def _write_kernel(pos_ref, kc, vc, ksc, vsc, k_in, v_in, ks_in, vs_in,
                   k_o, v_o, ks_o, vs_o):
     """Grid (L, B): read the 128-lane cache tile containing slot b's ring
     lane (block index from the prefetched positions), insert the new column,
-    write it back in place (aliased outputs)."""
+    write it back in place (aliased outputs).
+
+    The column operands arrive as [1, rows, B] blocks (B in the lane dim —
+    the layout the layer scan's stacking already produced, so no relayout
+    copy); the kernel selects slot b's lane with an iota mask + lane
+    reduction.  The same (l, 0, 0) block index across the inner b loop means
+    Pallas fetches each layer's columns once, not per slot."""
     b = pl.program_id(1)
     lane = pos_ref[b] % 128
-    for col, tile_in, tile_out in ((kc, k_in, k_o), (vc, v_in, v_o),
-                                   (ksc, ks_in, ks_o), (vsc, vs_in, vs_o)):
+    for colt, tile_in, tile_out in ((kc, k_in, k_o), (vc, v_in, v_o),
+                                    (ksc, ks_in, ks_o), (vsc, vs_in, vs_o)):
         rows = tile_in.shape[2]
+        nb = colt.shape[2]
+        bsel = lax.broadcasted_iota(jnp.int32, (rows, nb), 1) == b
+        col = jnp.sum(jnp.where(bsel, colt[0].astype(jnp.float32), 0.0),
+                      axis=1, keepdims=True)                 # [rows, 1]
+        col = col.astype(tile_in.dtype)
         sel = lax.broadcasted_iota(jnp.int32, (rows, 128), 1) == lane
-        tile_out[0, 0] = jnp.where(sel, col[0, 0], tile_in[0, 0])
+        tile_out[0, 0] = jnp.where(sel, col, tile_in[0, 0])
 
 
 @jax.jit
@@ -190,6 +201,11 @@ def cache_write_int4(pos, kcols, vcols, kscols, vscols,
     the 128-lane tile containing the slot's ring lane — XLA\'s
     dynamic-update-slice at an arbitrary lane rewrites the whole lane extent
     instead (~4 ms/frame at B=8; this kernel moves ~0.3 MB per slot-layer).
+    The columns are passed B-minor ([L, rows, B] via transpose): the scan
+    stack is already laid out B-minor, so the transpose is a free bitcast —
+    feeding [L, B, rows, 1] blocks instead forced XLA into a pathological
+    lane<->sublane relayout copy (1.6 ms per 4 MB operand at B=64, seen in
+    a device profile).
     """
     L, B, hd2 = kcols.shape
     H = kscols.shape[-1]
@@ -199,7 +215,7 @@ def cache_write_int4(pos, kcols, vcols, kscols, vscols,
                             lambda l, b, s: (l, b, 0, s[b] // 128))
 
     def col_spec(rows):
-        return pl.BlockSpec((1, 1, rows, 1), lambda l, b, s: (l, b, 0, 0))
+        return pl.BlockSpec((1, rows, B), lambda l, b, s: (l, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -222,5 +238,6 @@ def cache_write_int4(pos, kcols, vcols, kscols, vscols,
             jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
         ],
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
-    )(pos, kcols[..., None], vcols[..., None], kscols[..., None],
-      vscols[..., None], k_all, v_all, ks_all, vs_all)
+    )(pos, kcols.transpose(0, 2, 1), vcols.transpose(0, 2, 1),
+      kscols.transpose(0, 2, 1), vscols.transpose(0, 2, 1),
+      k_all, v_all, ks_all, vs_all)
