@@ -54,6 +54,14 @@ class ServerState:
             "colored_text", checkpoint_info.model_type == "hibiki"))
         self.lm_gen = LMGen(lm, LMGenConfig.from_dict(merged))
         self.lock = asyncio.Lock()
+        # ws arrival order for queue-position reporting: asyncio.Lock wakes
+        # waiters FIFO, so the index in this list is the live queue position
+        # (0 = being served).  The moshi.chat demo queue reported positions
+        # out-of-band (client/src/pages/Queue/api/client.ts); here waiting
+        # clients get MT 4 {"status": "wait", "queue_position": n} updates
+        # on the socket itself, plus the same HTTP API (QueueAPI below).
+        self._session_order: list[int] = []
+        self._session_counter = 0
         self.rng_seed = rng_seed
         self.log_dir = log_dir
         # reference: 360 s session timeout (moshi-server/src/lm.rs:234-239)
@@ -224,54 +232,104 @@ class ServerState:
 
     # ---------------------------------------------------------------- serving
     async def handle_chat(self, request):
-        from aiohttp import web, WSMsgType
-        from .. import moshi_native
+        from aiohttp import web
 
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         log("info", "accepted connection")
-        async with self.lock:
-            # lazy opus: raw-PCM clients (and non-opus sample rates in
-            # tests) never need the codec
-            class _LazyOpus:
-                def __init__(self, cls, rate):
-                    self._cls, self._rate, self._inst = cls, rate, None
-
-                def __getattr__(self, name):
-                    if self._inst is None:
-                        self._inst = self._cls(self._rate)
-                    return getattr(self._inst, name)
-
-            opus_writer = _LazyOpus(moshi_native.OpusStreamWriter,
-                                    self.mimi.sample_rate)
-            opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
-                                    self.mimi.sample_rate)
-            query = dict(request.rel_url.query)
-            session_cfg = self.apply_session_config(query)
-            self.reset()
-            self.session_tokens = []
-            # strict 8-byte handshake payload (rust/protocol.md:11-13);
-            # the bare-b"\x00" Python-reference form is still accepted
-            # by our clients
-            await ws.send_bytes(proto.handshake())
-            # echo the effective session config (rust MetaData,
-            # stream_both.rs:158-176) — only when the client passed session
-            # params, so bare clients see the reference wire sequence
-            known = (set(self._SESSION_PARAMS) |
-                     {"text_seed", "audio_seed", "max_steps"})
-            if known & set(query):
-                await ws.send_bytes(proto.msg(
-                    proto.MT_METADATA, json.dumps(session_cfg).encode()))
-            try:
-                await asyncio.wait_for(
-                    self._recv_loop(ws, opus_reader, opus_writer),
-                    timeout=self.session_timeout)
-            except asyncio.TimeoutError:
-                log("info", "session timeout")
-            finally:
-                self.save_session_log()
-                log("info", "connection closed")
+        sid = self._session_counter
+        self._session_counter += 1
+        self._session_order.append(sid)
+        try:
+            if not await self._acquire_session(ws, sid):
+                return ws  # client went away while queued
+        except Exception:
+            self._session_order.remove(sid)
+            raise
+        try:
+            await self._serve_session(ws, request)
+        finally:
+            self._session_order.remove(sid)
+            self.lock.release()
         return ws
+
+    async def _acquire_session(self, ws, sid) -> bool:
+        """FIFO-acquire the single-session lock, reporting queue position to
+        the waiting client via MT 4 once a second.  Returns False (without
+        holding the lock) if the client disconnects while queued."""
+        acquire = asyncio.ensure_future(self.lock.acquire())
+        try:
+            while not acquire.done():
+                pos = self._session_order.index(sid)
+                if pos > 0:
+                    try:
+                        await ws.send_bytes(proto.msg(
+                            proto.MT_METADATA,
+                            json.dumps({"status": "wait",
+                                        "queue_position": pos}).encode()))
+                    except Exception:
+                        # any send failure means the client is gone; a
+                        # leaked acquire would deadlock the session lock
+                        raise asyncio.CancelledError
+                if ws.closed:
+                    raise asyncio.CancelledError
+                await asyncio.wait({acquire}, timeout=1.0)
+            return True
+        except asyncio.CancelledError:
+            acquire.cancel()
+            # if acquire won the race with the cancellation, release
+            try:
+                await acquire
+            except asyncio.CancelledError:
+                pass
+            else:
+                self.lock.release()
+            self._session_order.remove(sid)
+            log("info", f"queued client {sid} disconnected")
+            return False
+
+    async def _serve_session(self, ws, request):
+        from .. import moshi_native
+        # lazy opus: raw-PCM clients (and non-opus sample rates in
+        # tests) never need the codec
+        class _LazyOpus:
+            def __init__(self, cls, rate):
+                self._cls, self._rate, self._inst = cls, rate, None
+
+            def __getattr__(self, name):
+                if self._inst is None:
+                    self._inst = self._cls(self._rate)
+                return getattr(self._inst, name)
+
+        opus_writer = _LazyOpus(moshi_native.OpusStreamWriter,
+                                self.mimi.sample_rate)
+        opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
+                                self.mimi.sample_rate)
+        query = dict(request.rel_url.query)
+        session_cfg = self.apply_session_config(query)
+        self.reset()
+        self.session_tokens = []
+        # strict 8-byte handshake payload (rust/protocol.md:11-13);
+        # the bare-b"\x00" Python-reference form is still accepted
+        # by our clients
+        await ws.send_bytes(proto.handshake())
+        # echo the effective session config (rust MetaData,
+        # stream_both.rs:158-176) — only when the client passed session
+        # params, so bare clients see the reference wire sequence
+        known = (set(self._SESSION_PARAMS) |
+                 {"text_seed", "audio_seed", "max_steps"})
+        if known & set(query):
+            await ws.send_bytes(proto.msg(
+                proto.MT_METADATA, json.dumps(session_cfg).encode()))
+        try:
+            await asyncio.wait_for(
+                self._recv_loop(ws, opus_reader, opus_writer),
+                timeout=self.session_timeout)
+        except asyncio.TimeoutError:
+            log("info", "session timeout")
+        finally:
+            self.save_session_log()
+            log("info", "connection closed")
 
     async def _recv_loop(self, ws, opus_reader, opus_writer):
         from aiohttp import WSMsgType
@@ -423,6 +481,81 @@ class ServerState:
                 log("info", f"frame handled in {1000 * (time.time() - t0):.1f}ms")
 
 
+class QueueAPI:
+    """HTTP session-queue API, wire-shaped like the moshi.chat demo service
+    the reference web client polls (client/src/pages/Queue/api/client.ts +
+    validators.ts): `GET /add_user?queue_id=` -> {session_id,
+    session_auth_id}; `GET /check_user?session_id=&session_auth_id=` ->
+    {session_id, status: "wait"|"ready", worker_auth_id, worker_addr,
+    current_position}; `GET /user_feedback` -> logged ack.  That service is
+    not in the reference repo (the client talks to kyutai's hosted infra) —
+    this implementation fronts this server's own single-session lock:
+    status flips to "ready" when every earlier HTTP ticket is gone
+    (checked-in tickets expire after `ttl` seconds without a poll) AND the
+    ws lock has a free slot for this ticket."""
+
+    def __init__(self, state: ServerState, worker_addr: str, ttl: float = 30.0):
+        self.state = state
+        self.worker_addr = worker_addr
+        self.ttl = ttl
+        self._tickets: dict[int, dict] = {}  # sid -> {auth, last_seen}
+        self._counter = 0
+
+    def _expire(self):
+        now = time.time()
+        for sid in [s for s, t in self._tickets.items()
+                    if now - t["last_seen"] > self.ttl]:
+            del self._tickets[sid]
+
+    async def add_user(self, request):
+        from aiohttp import web
+        import secrets
+        self._expire()
+        sid = self._counter
+        self._counter += 1
+        self._tickets[sid] = {"auth": secrets.token_hex(16),
+                              "last_seen": time.time()}
+        log("info", f"queue: ticket {sid} issued "
+                    f"(queue_id={request.rel_url.query.get('queue_id')})")
+        return web.json_response(
+            {"session_id": sid, "session_auth_id": self._tickets[sid]["auth"]})
+
+    async def check_user(self, request):
+        from aiohttp import web
+        self._expire()
+        q = request.rel_url.query
+        try:
+            sid = int(q.get("session_id", ""))
+        except ValueError:
+            return web.Response(status=400, text="bad session_id")
+        ticket = self._tickets.get(sid)
+        if ticket is None or ticket["auth"] != q.get("session_auth_id"):
+            return web.Response(status=404, text="unknown session")
+        ticket["last_seen"] = time.time()
+        ahead = sum(1 for s in self._tickets if s < sid)
+        ready = ahead == 0 and not self.state.lock.locked()
+        if ready:
+            del self._tickets[sid]  # the client connects to the ws now
+        return web.json_response({
+            "session_id": sid,
+            "status": "ready" if ready else "wait",
+            "worker_auth_id": ticket["auth"] if ready else None,
+            "worker_addr": self.worker_addr if ready else None,
+            "current_position": str(ahead),
+        })
+
+    async def user_feedback(self, request):
+        from aiohttp import web
+        q = request.rel_url.query
+        log("info", f"user_feedback: {dict(q)}")
+        return web.json_response({"ok": True})
+
+    def add_routes(self, app):
+        app.router.add_get("/add_user", self.add_user)
+        app.router.add_get("/check_user", self.check_user)
+        app.router.add_get("/user_feedback", self.user_feedback)
+
+
 def main():
     from aiohttp import web
 
@@ -473,6 +606,7 @@ def main():
 
     app = web.Application()
     app.router.add_get("/api/chat", state.handle_chat)
+    QueueAPI(state, f"ws://{args.host}:{args.port}/api/chat").add_routes(app)
     if args.static:
         import os
 

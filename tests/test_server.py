@@ -577,3 +577,97 @@ def test_session_config_query_params(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_session_queue_and_queue_api(tiny_checkpoint):
+    """Single-session queueing: a second concurrent ws client waits with MT 4
+    {"status": "wait", "queue_position": n} updates and is served (handshake)
+    once the first disconnects; the demo-shaped HTTP queue API
+    (client/src/pages/Queue/api/validators.ts: add_user -> {session_id,
+    session_auth_id}, check_user -> {status, worker_addr, current_position})
+    hands out tickets FIFO."""
+    pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState, QueueAPI
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        QueueAPI(state, "ws://test/api/chat").add_routes(app)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # --- ws-level queue: first client holds the single session
+            ws1 = await client.ws_connect("/api/chat")
+            assert (await asyncio.wait_for(
+                ws1.receive_bytes(), timeout=10))[:1] == b"\x00"
+
+            ws2 = await client.ws_connect("/api/chat")
+            first = await asyncio.wait_for(ws2.receive_bytes(), timeout=10)
+            assert first[0] == 4, "queued client should get metadata, not \\x00"
+            meta = json.loads(first[1:])
+            assert meta["status"] == "wait" and meta["queue_position"] == 1
+
+            await ws1.close()
+            # ws2 is promoted: eventually receives the handshake
+            while True:
+                msg = await asyncio.wait_for(ws2.receive_bytes(), timeout=10)
+                if msg[:1] == b"\x00":
+                    break
+                assert msg[0] == 4  # more wait updates are fine
+            await ws2.close()
+            await asyncio.sleep(0.1)  # let the server release the session
+
+            # --- HTTP queue API
+            r = await client.get("/add_user", params={"queue_id": "q"})
+            t1 = await r.json()
+            assert set(t1) == {"session_id", "session_auth_id"}
+            r = await client.get("/add_user", params={"queue_id": "q"})
+            t2 = await r.json()
+
+            # second ticket waits behind the first
+            r = await client.get("/check_user", params={
+                "session_id": str(t2["session_id"]),
+                "session_auth_id": t2["session_auth_id"]})
+            c2 = await r.json()
+            assert c2["status"] == "wait" and c2["current_position"] == "1"
+            assert c2["worker_addr"] is None
+
+            # first ticket is ready (session lock free) and gets the address
+            r = await client.get("/check_user", params={
+                "session_id": str(t1["session_id"]),
+                "session_auth_id": t1["session_auth_id"]})
+            c1 = await r.json()
+            assert c1["status"] == "ready"
+            assert c1["worker_addr"] == "ws://test/api/chat"
+            assert c1["worker_auth_id"] == t1["session_auth_id"]
+
+            # now the second ticket moves to the head
+            r = await client.get("/check_user", params={
+                "session_id": str(t2["session_id"]),
+                "session_auth_id": t2["session_auth_id"]})
+            assert (await r.json())["status"] == "ready"
+
+            # bad auth is rejected
+            r = await client.get("/check_user", params={
+                "session_id": "999", "session_auth_id": "nope"})
+            assert r.status == 404
+
+            # feedback is acked
+            r = await client.get("/user_feedback", params={"feedback": "1"})
+            assert (await r.json())["ok"] is True
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
