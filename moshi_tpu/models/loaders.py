@@ -849,3 +849,37 @@ class CheckpointInfo:
             w = params["text_emb"]["weight"]
             params["text_emb"]["weight"] = w.at[2].set(w[3])
         return model, params
+
+    def get_conditioners(self, output_dim: int):
+        """Build the checkpoint's conditioners and load their weights.
+
+        The reference attaches the ConditionProvider/ConditionFuser to the
+        LM itself (loaders.py:380-384, 449-473); here they are a separate
+        module so unconditioned serving paths never carry them.  Returns
+        `(condition_provider, fuser, params)` — provider/params are None
+        when the config has no `conditioners` block, fuser is None without
+        a `fuser` block.  Weights live in the moshi safetensors under
+        `condition_provider.conditioners.<name>.*` (torch layout)."""
+        from ..conditioners import ConditionFuser, conditioners_from_config
+
+        raw = self.raw_config or {}
+        provider, cp_params = None, None
+        if raw.get("conditioners"):
+            provider = conditioners_from_config(output_dim, raw["conditioners"])
+            state = load_safetensors(self._path("moshi", self.moshi_name))
+            cp_params = {}
+            for name in provider.conditioners:
+                prefix = f"condition_provider.conditioners.{name}"
+                p = {}
+                if f"{prefix}.embed.weight" in state:
+                    p["embed"] = state[f"{prefix}.embed.weight"]
+                if f"{prefix}.output_proj.weight" in state:
+                    p["output_proj"] = state[f"{prefix}.output_proj.weight"].T
+                if f"{prefix}.learnt_padding" in state:
+                    p["learnt_padding"] = state[f"{prefix}.learnt_padding"]
+                cp_params[name] = p
+        fuser = None
+        if raw.get("fuser"):
+            fuser = ConditionFuser({k: v for k, v in raw["fuser"].items()
+                                    if k in ("sum", "cross", "prepend")})
+        return provider, fuser, cp_params

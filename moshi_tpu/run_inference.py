@@ -68,14 +68,18 @@ class InferenceState:
         self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=1)
 
     def run(self, in_pcms: np.ndarray, eos_id: int = 2,
-            on_text=None, gen_seconds: float = 0.0
+            on_text=None, gen_seconds: float = 0.0, max_steps: int = 0
             ) -> list[tuple[np.ndarray, np.ndarray]]:
         """in_pcms: [B, 1, T] float32.  Returns per item (text_tokens, pcm).
 
         gen_seconds > 0 keeps generating past the end of the input by feeding
         silence frames for that long — the offline `gen` mode of the rust
         moshi-cli (gen.rs:20-30 pads the input with trailing zeros for the
-        model to respond into)."""
+        model to respond into).
+
+        max_steps > 0 bounds the total step count — a safety cap for hibiki
+        mode, whose loop otherwise runs until the text EOS is sampled
+        (reference run_inference.py:143-160 has the same unbounded loop)."""
         B = self.batch_size
         mimi = self.mimi
         if self.model_type == "stt":
@@ -101,9 +105,13 @@ class InferenceState:
         need_eos_input = True
         first_frame = True
         ntokens = 0
+        nsteps = 0
         t0 = time.time()
 
         while not all(eos_reached):
+            nsteps += 1
+            if max_steps and nsteps > max_steps:
+                break
             if chunks:
                 chunk = chunks.popleft()
                 codes, enc_state = self._encode(self.mimi_params, enc_state,
@@ -172,6 +180,9 @@ def main():
     parser.add_argument("--gen-seconds", type=float, default=0.0,
                         help="keep generating this long past the input "
                              "(offline moshi-cli `gen` mode)")
+    parser.add_argument("--max-steps", type=int, default=0,
+                        help="safety cap on total LM steps (0 = unlimited); "
+                             "hibiki mode otherwise runs until text EOS")
     parser.add_argument("infile")
     parser.add_argument("outfile", nargs="?", default="")
     args = parser.parse_args()
@@ -189,14 +200,20 @@ def main():
     gen_cfg = dict(info.lm_gen_config)
     ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
     cfg_coef = args.cfg_coef if args.cfg_coef != 1.0 else ckpt_cfg_coef
+    # hibiki checkpoints carry a "description" LUT conditioner whose
+    # very_good/very_bad values drive CFG (reference run_inference.py:34-57)
+    provider, fuser, cp_params = info.get_conditioners(lm.config.dim)
     state = InferenceState(info, mimi, mimi_params, lm, lm_params, tok,
-                           args.batch_size, cfg_coef, **gen_cfg)
+                           args.batch_size, cfg_coef,
+                           condition_provider=provider,
+                           condition_provider_params=cp_params, fuser=fuser,
+                           **gen_cfg)
 
     def on_text(t):
         print(tok.id_to_piece(t).replace("▁", " "), end="", flush=True)
 
     outs = state.run(np.ascontiguousarray(in_pcms), on_text=on_text,
-                     gen_seconds=args.gen_seconds)
+                     gen_seconds=args.gen_seconds, max_steps=args.max_steps)
     print()
     if args.outfile:
         out_path = Path(args.outfile)

@@ -15,7 +15,6 @@ import numpy as np
 
 from .models.loaders import CheckpointInfo
 from .models.tts import TTSModel, StateMachine, TokenIds
-from .conditioners import conditioners_from_config, ConditionFuser
 from . import audio
 
 
@@ -28,30 +27,7 @@ def build_tts(checkpoint_dir: str | Path, temp: float = 0.6,
     from .text.spm import SentencePieceTokenizer
     tokenizer = SentencePieceTokenizer(Path(checkpoint_dir) / info.tokenizer_name)
 
-    raw = info.raw_config or {}
-    condition_provider = None
-    fuser = None
-    cp_params = None
-    if raw.get("conditioners"):
-        condition_provider = conditioners_from_config(lm.config.dim,
-                                                      raw["conditioners"])
-        # conditioner weights live in the same safetensors; load them
-        from .models.loaders import load_safetensors
-        state = load_safetensors(Path(checkpoint_dir) / info.moshi_name)
-        cp_params = {}
-        for name in condition_provider.conditioners:
-            prefix = f"condition_provider.conditioners.{name}"
-            p = {}
-            if f"{prefix}.embed.weight" in state:
-                p["embed"] = state[f"{prefix}.embed.weight"]
-            if f"{prefix}.output_proj.weight" in state:
-                p["output_proj"] = state[f"{prefix}.output_proj.weight"].T
-            if f"{prefix}.learnt_padding" in state:
-                p["learnt_padding"] = state[f"{prefix}.learnt_padding"]
-            cp_params[name] = p
-    if raw.get("fuser"):
-        fuser = ConditionFuser({k: v for k, v in raw["fuser"].items()
-                                if k in ("sum", "cross", "prepend")})
+    condition_provider, fuser, cp_params = info.get_conditioners(lm.config.dim)
 
     tts_cfg = info.tts_config
     delay_steps = int(tts_cfg.get("audio_delay", 2.0) * mimi.frame_rate)
