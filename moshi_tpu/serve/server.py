@@ -12,6 +12,15 @@ resumes, restart resets all streaming state (fresh session in-place);
 endTurn is a no-op here (protocol.md: "not used in full streaming mode").
 
 The opus side uses the native C++ `moshi_native` codec (analog of sphn).
+
+Extension beyond the reference: one-shot session resume.  Every session's
+MT 4 config echo carries a `resume_id`; on disconnect the full streaming
+state (conv tails, ring KV, delay cache, rng) is snapshotted for
+`--resume-ttl` seconds, and a client reconnecting with `?resume=<id>`
+continues the conversation mid-dialogue instead of starting over.  The
+explicit-pytree streaming state makes this free — the reference's
+equivalent hook (`get/set_streaming_state`, streaming.py:158-181) is never
+used by its serving stack.
 """
 
 import argparse
@@ -81,6 +90,15 @@ class ServerState:
         self._default_gen = (self.lm_gen, self._step)
         self.max_steps = 4500  # rust cap (stream_both.rs:149)
         self.session_seed = rng_seed
+        # one-shot session-resume snapshot (state-is-data makes this free:
+        # the last step's output pytrees ARE the session; reference analog
+        # is get/set_streaming_state, streaming.py:158-181, which nothing
+        # in the reference serving stack ever calls).  At most one snapshot
+        # is held (one extra B=1 state in HBM); it is consumed on restore
+        # because stepping donates the restored buffers.
+        self.resume_ttl = 60.0
+        self._snapshot: dict | None = None
+        self._resume_id: str | None = None
         self.reset()
 
     def _jit_step(self, lm_gen):
@@ -135,13 +153,17 @@ class ServerState:
             self._gen_cache[key] = (gen, self._jit_step(gen))
             log("info", f"compiled session config {overrides}")
         self.lm_gen, self._step = self._gen_cache[key]
+        return self._session_cfg_dict()
+
+    def _session_cfg_dict(self) -> dict:
+        """The effective session config (the rust MetaData analog)."""
         c = self.lm_gen.gc
         return {"text_temperature": c.temp_text, "text_topk": c.top_k_text,
                 "audio_temperature": c.temp, "audio_topk": c.top_k,
                 "pad_mult": c.padding_bonus,
                 "repetition_penalty": c.text_rep_penalty,
                 "repetition_penalty_context": c.text_rep_context,
-                "max_steps": self.max_steps, "seed": seed}
+                "max_steps": self.max_steps, "seed": self.session_seed}
 
     def reset(self):
         self.enc_state = self.mimi.init_encode_state(1)
@@ -219,6 +241,37 @@ class ServerState:
 
     def reset_encoder(self):
         self.enc_state = self.mimi.init_encode_state(1)
+
+    # ------------------------------------------------------------- resume
+    def _store_snapshot(self):
+        """Snapshot the full streaming state at disconnect, keyed by the
+        resume_id announced to the client at session start."""
+        if self._resume_id is None or self.resume_ttl <= 0:
+            return
+        self._snapshot = {
+            "token": self._resume_id,
+            "expires": time.time() + self.resume_ttl,
+            "enc": self.enc_state, "dec": self.dec_state,
+            "gen": self.gen_state, "steps": self.steps_done,
+            "gen_pair": (self.lm_gen, self._step),
+            "max_steps": self.max_steps,
+        }
+        self._resume_id = None
+
+    def _take_snapshot(self, token: str | None) -> bool:
+        """Restore the snapshot if `token` matches and it hasn't expired.
+        One-shot: the restored buffers are donated on the next step, so the
+        snapshot is cleared either way."""
+        snap, self._snapshot = self._snapshot, None
+        if (not token or snap is None or snap["token"] != token
+                or time.time() > snap["expires"]):
+            return False
+        self.enc_state, self.dec_state = snap["enc"], snap["dec"]
+        self.gen_state = snap["gen"]
+        self.steps_done = snap["steps"]
+        self.lm_gen, self._step = snap["gen_pair"]
+        self.max_steps = snap["max_steps"]
+        return True
 
     def _text_msg(self, text: str, prob: float | None) -> bytes:
         """MT 2 text, or MT 7 confidence-colored text when colored_text:
@@ -306,35 +359,53 @@ class ServerState:
         opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
                                 self.mimi.sample_rate)
         query = dict(request.rel_url.query)
-        session_cfg = self.apply_session_config(query)
-        self.reset()
-        self.session_tokens = []
+        resumed = self._take_snapshot(query.get("resume"))
+        if resumed:
+            # conversation continues from the disconnected session's state;
+            # explicit sampling overrides win over the snapshot's config
+            if set(self._SESSION_PARAMS) & set(query):
+                session_cfg = self.apply_session_config(query)
+            else:
+                session_cfg = self._session_cfg_dict()
+            log("info", f"session resumed at step {self.steps_done}")
+        else:
+            session_cfg = self.apply_session_config(query)
+            self.reset()
+            self.session_tokens = []
+        import secrets
+        self._resume_id = secrets.token_hex(8)
+        session_cfg["resume_id"] = self._resume_id
+        session_cfg["resumed"] = resumed
         # strict 8-byte handshake payload (rust/protocol.md:11-13);
         # the bare-b"\x00" Python-reference form is still accepted
         # by our clients
         await ws.send_bytes(proto.handshake())
         # echo the effective session config (rust MetaData,
         # stream_both.rs:158-176) — only when the client passed session
-        # params, so bare clients see the reference wire sequence
+        # params (or opted into resume), so bare clients see the reference
+        # wire sequence
         known = (set(self._SESSION_PARAMS) |
-                 {"text_seed", "audio_seed", "max_steps"})
+                 {"text_seed", "audio_seed", "max_steps",
+                  "resume", "resume_support"})
         if known & set(query):
             await ws.send_bytes(proto.msg(
                 proto.MT_METADATA, json.dumps(session_cfg).encode()))
         try:
             await asyncio.wait_for(
-                self._recv_loop(ws, opus_reader, opus_writer),
+                self._recv_loop(ws, opus_reader, opus_writer,
+                                skip_frames=0 if resumed else 1),
                 timeout=self.session_timeout)
         except asyncio.TimeoutError:
             log("info", "session timeout")
         finally:
+            self._store_snapshot()
             self.save_session_log()
             log("info", "connection closed")
 
-    async def _recv_loop(self, ws, opus_reader, opus_writer):
+    async def _recv_loop(self, ws, opus_reader, opus_writer,
+                         skip_frames: int = 1):
         from aiohttp import WSMsgType
         all_pcm = np.zeros((0,), np.float32)
-        skip_frames = 1
         paused = False
         raw_pcm = False  # client opted into raw-f32 frames (web client)
         async for message in ws:
@@ -569,6 +640,9 @@ def main():
     parser.add_argument("--log-dir", type=str, default=None,
                         help="save per-session token logs (safetensors)")
     parser.add_argument("--session-timeout", type=float, default=360.0)
+    parser.add_argument("--resume-ttl", type=float, default=60.0,
+                        help="seconds a disconnected session stays resumable "
+                             "via ?resume=<resume_id> (0 disables)")
     parser.add_argument("--kv-cache", default=None,
                         choices=["model", "int8", "int4"],
                         help="override the KV cache dtype (memory/latency "
@@ -601,6 +675,7 @@ def main():
     state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
                         cfg_coef, log_dir=args.log_dir,
                         session_timeout=args.session_timeout, **gen_cfg)
+    state.resume_ttl = args.resume_ttl
     log("info", "warming up")
     state.warmup()
 

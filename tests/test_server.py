@@ -671,3 +671,90 @@ def test_session_queue_and_queue_api(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_session_resume(tiny_checkpoint):
+    """One-shot session resume: a 7-frame conversation split 4 + (resume) 3
+    produces bit-identical audio/text to an unbroken 7-frame session — the
+    snapshot restores the full streaming state (conv tails, ring KV, delay
+    cache, rng chain).  Wrong tokens fall back to a fresh session."""
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, _FakeTok(),
+                        **info.lm_gen_config)
+    state.warmup()
+    frame = np.zeros(1920, np.float32).tobytes()
+
+    async def start_session(client, query):
+        ws = await client.ws_connect("/api/chat" + query)
+        assert (await asyncio.wait_for(ws.receive_bytes(), 10))[:1] == b"\x00"
+        meta = json.loads((await asyncio.wait_for(ws.receive_bytes(), 10))[1:])
+        await ws.send_bytes(bytes([4]) + json.dumps({"raw_pcm": True}).encode())
+        reply = json.loads((await asyncio.wait_for(ws.receive_bytes(), 10))[1:])
+        assert reply["raw_pcm"] is True
+        return ws, meta
+
+    async def drive(ws, n, pcms, texts):
+        for _ in range(n):
+            await ws.send_bytes(bytes([10]) + frame)
+            while True:
+                try:
+                    m = await asyncio.wait_for(ws.receive(), timeout=0.25)
+                except asyncio.TimeoutError:
+                    break
+                if m.type != aiohttp.WSMsgType.BINARY:
+                    break
+                if m.data[0] == 10:
+                    pcms.append(m.data[1:])
+                elif m.data[0] == 2:
+                    texts.append(m.data[1:])
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # unbroken 7-frame session
+            ws, meta = await start_session(client, "?resume_support=1")
+            assert meta["resumed"] is False and meta["resume_id"]
+            pcm_a, text_a = [], []
+            await drive(ws, 7, pcm_a, text_a)
+            await ws.close()
+            await asyncio.sleep(0.1)
+
+            # split session: 4 frames, drop, resume, 3 frames
+            ws, meta = await start_session(client, "?resume_support=1")
+            assert meta["resumed"] is False
+            rid = meta["resume_id"]
+            pcm_b, text_b = [], []
+            await drive(ws, 4, pcm_b, text_b)
+            await ws.close()
+            await asyncio.sleep(0.1)
+            ws, meta = await start_session(client, f"?resume={rid}")
+            assert meta["resumed"] is True
+            await drive(ws, 3, pcm_b, text_b)
+            await ws.close()
+            await asyncio.sleep(0.1)
+
+            assert len(pcm_a) >= 3
+            assert pcm_b == pcm_a, "resumed stream diverged from unbroken"
+            assert text_b == text_a
+
+            # a bad token starts fresh instead of resuming
+            ws, meta = await start_session(client, "?resume=deadbeef")
+            assert meta["resumed"] is False
+            await ws.close()
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
