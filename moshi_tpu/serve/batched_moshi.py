@@ -25,7 +25,7 @@ import numpy as np
 from ..models.loaders import CheckpointInfo
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN
-from ..utils.trees import masked_reset
+from ..utils.trees import masked_reset, take_slots, put_slots
 from . import protocol as proto
 from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
 
@@ -109,6 +109,62 @@ class BatchedMoshiState:
         # into in-place selects on the donated buffers.
         self._reset = jax.jit(_reset, donate_argnums=(0, 1, 2))
 
+        # Per-slot session resume (the batched analog of serve/server.py's
+        # snapshot): a disconnecting slot's state — 1/B of the batch pytree —
+        # is gathered out on-device and scattered back into whichever slot
+        # the user reconnects to.  The shared batch rng is NOT part of a
+        # slot's state, so a resumed batched session continues the
+        # conversation (KV/delay caches) but not the exact sampling stream.
+        self.resume_ttl = 60.0
+        self.max_snapshots = 4
+        self._snapshots: dict[str, tuple[float, tuple]] = {}
+        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resumed: dict[int, bool] = {}
+        mult = self.lm_gen.model_batch_mult
+        _GEN_KEYS = ("cache", "offsets", "transformer", "text_history",
+                     "hist_pos")
+
+        def _per_key(gen_state, fn, fn_model):
+            out = {}
+            for key in _GEN_KEYS:
+                if key in gen_state:
+                    out[key] = (fn_model if key == "transformer"
+                                else fn)(gen_state[key])
+            return out
+
+        def _extract(gen_state, enc_state, dec_state, slot):
+            idx = jnp.asarray([slot])
+            idx_m = jnp.concatenate([idx + i * batch_size
+                                     for i in range(mult)])
+            snap_gen = _per_key(
+                gen_state,
+                lambda t: take_slots(t, idx, batch_size),
+                lambda t: take_slots(t, idx_m, batch_size * mult))
+            return (snap_gen, take_slots(enc_state, idx, batch_size),
+                    take_slots(dec_state, idx, batch_size))
+
+        def _restore(gen_state, enc_state, dec_state, snap, slot):
+            snap_gen, senc, sdec = snap
+            idx = jnp.asarray([slot])
+            idx_m = jnp.concatenate([idx + i * batch_size
+                                     for i in range(mult)])
+            new_gen = dict(gen_state)
+            for key, v in snap_gen.items():
+                if key == "transformer":
+                    new_gen[key] = put_slots(gen_state[key], v, idx_m,
+                                             batch_size * mult)
+                else:
+                    new_gen[key] = put_slots(gen_state[key], v, idx,
+                                             batch_size)
+            return (new_gen, put_slots(enc_state, senc, idx, batch_size),
+                    put_slots(dec_state, sdec, idx, batch_size))
+
+        self._extract = jax.jit(_extract)
+        # donating the big states scatters in place (no second full KV); the
+        # [1,...] snapshot leaves can't alias [B,...] outputs, so they are
+        # not donated — they're dropped from the store on restore instead
+        self._restore = jax.jit(_restore, donate_argnums=(0, 1, 2))
+
     def warmup(self):
         pcm = jnp.zeros((self.batch_size, 1, self.frame_size), jnp.float32)
         mask = jnp.ones((self.batch_size,), bool)
@@ -135,21 +191,60 @@ class BatchedMoshiState:
             self.gen_state, self.enc_state, self.dec_state, jnp.asarray(mask))
         self.skip_frames[slot] = 1
 
-    async def acquire_slot(self) -> int | None:
+    # ------------------------------------------------------------- resume
+    def issue_resume_id(self, slot: int) -> str:
+        """Announce-ahead token: the client learns it at session start so an
+        abrupt drop is still resumable; release_slot snapshots under it."""
+        import secrets
+        rid = secrets.token_hex(8)
+        self.slot_resume_id[slot] = rid
+        return rid
+
+    def snapshot_slot(self, slot: int):
+        """Extract the slot's state and store it under its resume_id (no-op
+        unless issue_resume_id was called for this session)."""
+        rid = self.slot_resume_id.pop(slot, None)
+        if rid is None or self.resume_ttl <= 0:
+            return
+        now = time.time()
+        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
+            del self._snapshots[k]
+        while len(self._snapshots) >= self.max_snapshots:
+            del self._snapshots[next(iter(self._snapshots))]
+        snap = self._extract(self.gen_state, self.enc_state, self.dec_state,
+                             jnp.int32(slot))
+        self._snapshots[rid] = (now + self.resume_ttl, snap)
+
+    def restore_slot(self, slot: int, snap):
+        self.gen_state, self.enc_state, self.dec_state = self._restore(
+            self.gen_state, self.enc_state, self.dec_state, snap,
+            jnp.int32(slot))
+        # the stream continues mid-conversation: no first-frame skip
+        self.skip_frames[slot] = 0
+
+    async def acquire_slot(self, resume: str | None = None) -> int | None:
         async with self.lock:
             if not self.slots_free:
                 return None
             slot = self.slots_free.pop()
             self.slot_queues[slot] = asyncio.Queue()
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
-            self.reset_slot(slot)
+            snap = self._snapshots.pop(resume, None) if resume else None
+            if snap is not None and time.time() <= snap[0]:
+                self.restore_slot(slot, snap[1])
+                self.slot_resumed[slot] = True
+            else:
+                self.reset_slot(slot)
+                self.slot_resumed[slot] = False
             OPEN_CHANNELS.inc()
             return slot
 
     async def release_slot(self, slot: int):
         async with self.lock:
+            self.snapshot_slot(slot)
             self.slot_queues.pop(slot, None)
             self.slot_pcm.pop(slot, None)
+            self.slot_resumed.pop(slot, None)
             self.slots_free.append(slot)
             OPEN_CHANNELS.dec()
 
@@ -215,13 +310,19 @@ async def handle_chat(request, state: BatchedMoshiState):
     ws = web.WebSocketResponse()
     await ws.prepare(request)
     CONNECT_COUNT.inc()
-    slot = await state.acquire_slot()
+    query = dict(request.rel_url.query)
+    want_resume = "resume_support" in query or "resume" in query
+    slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.close(code=1013, message=b"server full")
         return ws
     reader = moshi_native.OpusStreamReader(state.mimi.sample_rate)
     writer = moshi_native.OpusStreamWriter(state.mimi.sample_rate)
     await ws.send_bytes(proto.handshake())
+    if want_resume:
+        await ws.send_bytes(proto.msg(proto.MT_METADATA, json.dumps(
+            {"resume_id": state.issue_resume_id(slot),
+             "resumed": state.slot_resumed.get(slot, False)}).encode()))
 
     async def sender():
         q = state.slot_queues[slot]

@@ -15,6 +15,34 @@ def expand_mask(mask: jax.Array, ndim: int) -> jax.Array:
     return mask.reshape(mask.shape + (1,) * (ndim - 1))
 
 
+def take_slots(state, idx: jax.Array, batch: int):
+    """Gather batch entries `idx` ([N] int32) from every leaf of `state`,
+    keeping a size-N batch axis — the per-slot state extraction used for
+    session snapshots.  Batch-axis heuristic as in masked_reset."""
+    def _take(s):
+        if s.ndim >= 1 and s.shape[0] == batch:
+            return s[idx]
+        if s.ndim >= 2 and s.shape[1] == batch:
+            return s[:, idx]
+        raise ValueError(f"cannot locate batch axis in state leaf {s.shape} "
+                         f"(B={batch})")
+    return jax.tree.map(_take, state)
+
+
+def put_slots(state, slot_state, idx: jax.Array, batch: int):
+    """Inverse of take_slots: scatter `slot_state` (size-N batch axis) into
+    batch entries `idx` of `state`.  Call inside a donated jit — a host-side
+    scatter would materialize a full second state next to the live one."""
+    def _put(s, v):
+        if s.ndim >= 1 and s.shape[0] == batch:
+            return s.at[idx].set(v)
+        if s.ndim >= 2 and s.shape[1] == batch:
+            return s.at[:, idx].set(v)
+        raise ValueError(f"cannot locate batch axis in state leaf {s.shape} "
+                         f"(B={batch})")
+    return jax.tree.map(_put, state, slot_state)
+
+
 def masked_reset(state, init_state, reset_mask: jax.Array):
     """Where `reset_mask[b]` is True, replace batch entry `b` of every leaf of
     `state` with the corresponding entry of `init_state`.

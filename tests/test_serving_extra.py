@@ -459,3 +459,82 @@ def test_batched_moshi_bf16_mimi():
     enc_dtypes = {v.dtype for v in jax.tree.leaves(state.enc_state)
                   if jnp.issubdtype(v.dtype, jnp.floating)}
     assert jnp.float32 not in enc_dtypes
+
+
+def test_batched_moshi_slot_resume():
+    """Per-slot session resume in the batched server: a greedy conversation
+    split across a disconnect (and resumed into a DIFFERENT slot) produces
+    the same outputs as an unbroken session running in parallel."""
+    from moshi_tpu.serve.batched_moshi import BatchedMoshiState
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+
+    cfg = tiny_lm_config()
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+
+    state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                              batch_size=3, rng=jax.random.PRNGKey(2),
+                              temp=0.0, temp_text=0.0)
+    state.warmup()
+    fs = state.frame_size
+    frame = np.zeros(fs, np.float32)
+
+    async def drain(slot, out):
+        q = state.slot_queues[slot]
+        while not q.empty():
+            pcm, tok = q.get_nowait()
+            out.append((pcm.tobytes(), tok))
+
+    async def feed(slots):
+        for s in slots:
+            state.slot_pcm[s] = np.concatenate([state.slot_pcm[s], frame])
+        await asyncio.sleep(0.05)
+
+    async def scenario():
+        loop_task = asyncio.create_task(state.run_loop())
+        ref = await state.acquire_slot()          # unbroken reference session
+        user = await state.acquire_slot()         # the session that drops
+        out_ref, out_user = [], []
+        for _ in range(6):
+            await feed([ref, user])
+            await drain(ref, out_ref)
+            await drain(user, out_user)
+        rid = state.issue_resume_id(user)
+        await drain(user, out_user)
+        await state.release_slot(user)            # snapshot taken here
+
+        # a third party takes (and dirties) the freed slot
+        other = await state.acquire_slot()
+        for _ in range(2):
+            await feed([ref, other])
+            await drain(ref, out_ref)
+
+        # the user resumes — lands in the remaining slot
+        back = await state.acquire_slot(resume=rid)
+        assert state.slot_resumed[back] is True
+        assert back not in (ref, other)
+        for _ in range(4):
+            await feed([ref, back])
+            await drain(ref, out_ref)
+            await drain(back, out_user)
+        for _ in range(40):
+            await asyncio.sleep(0.05)
+            await drain(ref, out_ref)
+            await drain(back, out_user)
+            if len(out_user) >= 7:  # 10 frames - 1 skip - 2 delay steps
+                break
+        loop_task.cancel()
+        # ref saw 2 extra frames during the gap, so user's stream is a
+        # strict prefix of the unbroken reference stream
+        assert len(out_user) >= 6
+        assert out_ref[:len(out_user)] == out_user, "resumed slot diverged"
+
+        # an expired/unknown token starts fresh
+        await state.release_slot(back)
+        stale = await state.acquire_slot(resume="nope")
+        assert state.slot_resumed[stale] is False
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(scenario())
