@@ -97,6 +97,13 @@ class StreamingASR:
         self._step_fn = jax.jit(self._device_step, donate_argnums=1)
         self._encode_fn = jax.jit(self.mimi.encode_step, donate_argnums=1)
         self._reset_fn = jax.jit(self._masked_reset, donate_argnums=0)
+        # exact per-leaf batch axes: the shape heuristic corrupts other
+        # slots when B collides with a layer-stack dim (utils/trees.py)
+        from ..utils.trees import state_batch_axes
+        self._ax_mimi = state_batch_axes(
+            lambda b: self.mimi.init_encode_state(b))
+        self._ax_tr = state_batch_axes(
+            lambda b: self.lm.transformer.init_state(b, jnp.bfloat16))
 
     # ------------------------------------------------------------- device part
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
@@ -139,9 +146,11 @@ class StreamingASR:
                 self.batch_size, state["transformer"]["k"].dtype),
         }
         new = dict(state)
-        new["mimi"] = masked_reset(state["mimi"], init["mimi"], mask)
+        new["mimi"] = masked_reset(state["mimi"], init["mimi"], mask,
+                                   self._ax_mimi)
         new["transformer"] = masked_reset(state["transformer"],
-                                          init["transformer"], mask)
+                                          init["transformer"], mask,
+                                          self._ax_tr)
         return new
 
     # ---------------------------------------------------------------- stepping

@@ -865,19 +865,27 @@ class CheckpointInfo:
         raw = self.raw_config or {}
         provider, cp_params = None, None
         if raw.get("conditioners"):
+            from safetensors import safe_open
+
             provider = conditioners_from_config(output_dim, raw["conditioners"])
-            state = load_safetensors(self._path("moshi", self.moshi_name))
             cp_params = {}
-            for name in provider.conditioners:
-                prefix = f"condition_provider.conditioners.{name}"
-                p = {}
-                if f"{prefix}.embed.weight" in state:
-                    p["embed"] = state[f"{prefix}.embed.weight"]
-                if f"{prefix}.output_proj.weight" in state:
-                    p["output_proj"] = state[f"{prefix}.output_proj.weight"].T
-                if f"{prefix}.learnt_padding" in state:
-                    p["learnt_padding"] = state[f"{prefix}.learnt_padding"]
-                cp_params[name] = p
+            # lazy reads: only the handful of conditioner tensors are pulled
+            # from the (possibly multi-GB) moshi safetensors
+            with safe_open(str(self._path("moshi", self.moshi_name)),
+                           framework="flax") as f:
+                keys = set(f.keys())
+                for name in provider.conditioners:
+                    prefix = f"condition_provider.conditioners.{name}"
+                    p = {}
+                    if f"{prefix}.embed.weight" in keys:
+                        p["embed"] = f.get_tensor(f"{prefix}.embed.weight")
+                    if f"{prefix}.output_proj.weight" in keys:
+                        p["output_proj"] = f.get_tensor(
+                            f"{prefix}.output_proj.weight").T
+                    if f"{prefix}.learnt_padding" in keys:
+                        p["learnt_padding"] = f.get_tensor(
+                            f"{prefix}.learnt_padding")
+                    cp_params[name] = p
         fuser = None
         if raw.get("fuser"):
             fuser = ConditionFuser({k: v for k, v in raw["fuser"].items()

@@ -25,7 +25,8 @@ import numpy as np
 from ..models.loaders import CheckpointInfo
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN
-from ..utils.trees import masked_reset, take_slots, put_slots
+from ..utils.trees import (masked_reset, take_slots, put_slots,
+                           state_batch_axes)
 from . import protocol as proto
 from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
 
@@ -81,6 +82,18 @@ class BatchedMoshiState:
         # max batch that fits in HBM.
         self._frame = jax.jit(frame, donate_argnums=(2, 3, 4))
 
+        # Exact per-leaf batch axes (a shape heuristic mislocates the batch
+        # axis whenever B collides with a layer-stack or kernel dim, e.g.
+        # B=8 with the 8-layer full-size Mimi transformer, or B=32 with the
+        # 32-layer 7B — per-slot resets then corrupt OTHER slots' state).
+        _rng0 = rng
+        self._ax_gen = state_batch_axes(
+            lambda b: self.lm_gen.init_state(b, _rng0))
+        self._ax_enc = state_batch_axes(
+            lambda b: mimi.init_encode_state(b, md))
+        self._ax_dec = state_batch_axes(
+            lambda b: mimi.init_decode_state(b, md))
+
         def _reset(gen_state, enc_state, dec_state, mask):
             fresh = self.lm_gen.init_state(batch_size, gen_state["rng"])
             # The transformer sub-state is allocated at batch_size *
@@ -93,13 +106,14 @@ class BatchedMoshiState:
                 if key not in gen_state:
                     continue
                 mk = m_model if key == "transformer" else mask
-                new_gen[key] = masked_reset(gen_state[key], fresh[key], mk)
+                new_gen[key] = masked_reset(gen_state[key], fresh[key], mk,
+                                            self._ax_gen[key])
             enc_state = masked_reset(enc_state,
                                      mimi.init_encode_state(batch_size, md),
-                                     mask)
+                                     mask, self._ax_enc)
             dec_state = masked_reset(dec_state,
                                      mimi.init_decode_state(batch_size, md),
-                                     mask)
+                                     mask, self._ax_dec)
             return new_gen, enc_state, dec_state
 
         # Per-slot reset must be jitted WITH donation: a host-side masked
@@ -124,24 +138,21 @@ class BatchedMoshiState:
         _GEN_KEYS = ("cache", "offsets", "transformer", "text_history",
                      "hist_pos")
 
-        def _per_key(gen_state, fn, fn_model):
-            out = {}
-            for key in _GEN_KEYS:
-                if key in gen_state:
-                    out[key] = (fn_model if key == "transformer"
-                                else fn)(gen_state[key])
-            return out
-
         def _extract(gen_state, enc_state, dec_state, slot):
             idx = jnp.asarray([slot])
             idx_m = jnp.concatenate([idx + i * batch_size
                                      for i in range(mult)])
-            snap_gen = _per_key(
-                gen_state,
-                lambda t: take_slots(t, idx, batch_size),
-                lambda t: take_slots(t, idx_m, batch_size * mult))
-            return (snap_gen, take_slots(enc_state, idx, batch_size),
-                    take_slots(dec_state, idx, batch_size))
+            snap_gen = {}
+            for key in _GEN_KEYS:
+                if key not in gen_state:
+                    continue
+                ki = idx_m if key == "transformer" else idx
+                kb = batch_size * mult if key == "transformer" else batch_size
+                snap_gen[key] = take_slots(gen_state[key], ki, kb,
+                                           self._ax_gen[key])
+            return (snap_gen,
+                    take_slots(enc_state, idx, batch_size, self._ax_enc),
+                    take_slots(dec_state, idx, batch_size, self._ax_dec))
 
         def _restore(gen_state, enc_state, dec_state, snap, slot):
             snap_gen, senc, sdec = snap
@@ -150,14 +161,13 @@ class BatchedMoshiState:
                                      for i in range(mult)])
             new_gen = dict(gen_state)
             for key, v in snap_gen.items():
-                if key == "transformer":
-                    new_gen[key] = put_slots(gen_state[key], v, idx_m,
-                                             batch_size * mult)
-                else:
-                    new_gen[key] = put_slots(gen_state[key], v, idx,
-                                             batch_size)
-            return (new_gen, put_slots(enc_state, senc, idx, batch_size),
-                    put_slots(dec_state, sdec, idx, batch_size))
+                ki = idx_m if key == "transformer" else idx
+                kb = batch_size * mult if key == "transformer" else batch_size
+                new_gen[key] = put_slots(gen_state[key], v, ki, kb,
+                                         self._ax_gen[key])
+            return (new_gen,
+                    put_slots(enc_state, senc, idx, batch_size, self._ax_enc),
+                    put_slots(dec_state, sdec, idx, batch_size, self._ax_dec))
 
         self._extract = jax.jit(_extract)
         # donating the big states scatters in place (no second full KV); the
@@ -202,18 +212,32 @@ class BatchedMoshiState:
 
     def snapshot_slot(self, slot: int):
         """Extract the slot's state and store it under its resume_id (no-op
-        unless issue_resume_id was called for this session)."""
+        unless issue_resume_id was called for this session).  The snapshot
+        is moved to host RAM in the background so it doesn't pin 1/B of a
+        batch state in HBM for its whole TTL; _restore's jit transfers it
+        back on resume."""
         rid = self.slot_resume_id.pop(slot, None)
         if rid is None or self.resume_ttl <= 0:
             return
-        now = time.time()
-        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
-            del self._snapshots[k]
+        self._sweep_snapshots()
         while len(self._snapshots) >= self.max_snapshots:
             del self._snapshots[next(iter(self._snapshots))]
         snap = self._extract(self.gen_state, self.enc_state, self.dec_state,
                              jnp.int32(slot))
-        self._snapshots[rid] = (now + self.resume_ttl, snap)
+        self._snapshots[rid] = (time.time() + self.resume_ttl, snap)
+
+        async def _offload():
+            host = await asyncio.to_thread(jax.device_get, snap)
+            if rid in self._snapshots:  # not resumed/evicted meanwhile
+                exp, _ = self._snapshots[rid]
+                self._snapshots[rid] = (exp, host)
+
+        asyncio.ensure_future(_offload())
+
+    def _sweep_snapshots(self):
+        now = time.time()
+        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
+            del self._snapshots[k]
 
     def restore_slot(self, slot: int, snap):
         self.gen_state, self.enc_state, self.dec_state = self._restore(
@@ -261,7 +285,11 @@ class BatchedMoshiState:
 
     async def _run_loop(self):
         B, fs = self.batch_size, self.frame_size
+        next_sweep = 0.0
         while True:
+            if self._snapshots and time.time() > next_sweep:
+                self._sweep_snapshots()  # expired snapshots free their RAM
+                next_sweep = time.time() + 5.0
             ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
             if not ready:
                 await asyncio.sleep(0.005)

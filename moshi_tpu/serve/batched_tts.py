@@ -96,6 +96,15 @@ class BatchedTTSState:
         self._main = jax.jit(self.gen.main_step, donate_argnums=1)
         self._depth_decode = jax.jit(depth_decode, donate_argnums=(2, 3))
 
+        # exact per-leaf batch axes: the shape heuristic corrupts other
+        # slots when B collides with a layer-stack dim (utils/trees.py)
+        from ..utils.trees import state_batch_axes
+        _rng0 = rng
+        self._ax_gen = state_batch_axes(
+            lambda b: self.gen.init_state(b, _rng0))
+        self._ax_dec = state_batch_axes(
+            lambda b: mimi.init_decode_state(b))
+
         def _reset(gstate, dec_state, mask):
             fresh = self.gen.init_state(batch_size, gstate["rng"])
             m_model = jnp.tile(mask, self.gen.model_batch_mult)
@@ -111,12 +120,15 @@ class BatchedTTSState:
                     # _recompute_conditioning, not the masked reset
                     cur = dict(gstate[key])
                     sub = {k2: cur[k2] for k2 in fresh[key]}
-                    cur.update(masked_reset(sub, fresh[key], mk))
+                    cur.update(masked_reset(sub, fresh[key], mk,
+                                            self._ax_gen[key]))
                     new_gen[key] = cur
                 else:
-                    new_gen[key] = masked_reset(gstate[key], fresh[key], mk)
+                    new_gen[key] = masked_reset(gstate[key], fresh[key], mk,
+                                                self._ax_gen[key])
             dec_state = masked_reset(
-                dec_state, mimi.init_decode_state(batch_size), mask)
+                dec_state, mimi.init_decode_state(batch_size), mask,
+                self._ax_dec)
             return new_gen, dec_state
 
         # jitted + donated per-slot reset: avoids materializing a second

@@ -365,6 +365,19 @@ class ServerState:
             # explicit sampling overrides win over the snapshot's config
             if set(self._SESSION_PARAMS) & set(query):
                 session_cfg = self.apply_session_config(query)
+                # the restored state lacks the repetition-penalty history
+                # leaves if the original session had the penalty off (or a
+                # different context width) — reconcile, losing only the
+                # penalty window, not the conversation
+                gc = self.lm_gen.gc
+                if gc.rep_penalty_on:
+                    th = self.gen_state.get("text_history")
+                    if th is None or th.shape[1] != gc.text_rep_context:
+                        self.gen_state = dict(self.gen_state)
+                        self.gen_state["text_history"] = jnp.full(
+                            (1, gc.text_rep_context), -1, jnp.int32)
+                        self.gen_state["hist_pos"] = jnp.zeros((1,),
+                                                               jnp.int32)
             else:
                 session_cfg = self._session_cfg_dict()
             log("info", f"session resumed at step {self.steps_done}")
@@ -396,6 +409,9 @@ class ServerState:
                                 skip_frames=0 if resumed else 1),
                 timeout=self.session_timeout)
         except asyncio.TimeoutError:
+            # policy end, not a network blip: resuming past the timeout
+            # would defeat --session-timeout via client auto-reconnect
+            self._resume_id = None
             log("info", "session timeout")
         finally:
             self._store_snapshot()
@@ -437,6 +453,7 @@ class ServerState:
                     out_pcm, text_token, prob = self.step_frame(chunk)
                     if self.steps_done >= self.max_steps:
                         log("info", f"max_steps {self.max_steps} reached")
+                        self._resume_id = None  # terminal end: no snapshot
                         await ws.close()
                         return
                     if out_pcm is None:
@@ -537,6 +554,7 @@ class ServerState:
                 out_pcm, text_token, prob = self.step_frame(chunk)
                 if self.steps_done >= self.max_steps:
                     log("info", f"max_steps {self.max_steps} reached")
+                    self._resume_id = None  # terminal end: no snapshot
                     await ws.close()
                     return
                 if out_pcm is None:

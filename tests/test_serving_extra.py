@@ -538,3 +538,55 @@ def test_batched_moshi_slot_resume():
         assert state.slot_resumed[stale] is False
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(scenario())
+
+
+def test_per_slot_reset_ambiguous_batch_axis():
+    """B == num_layers regression: transformer KV leaves are [L, B, ...] and
+    with L == B a shape heuristic mislocates the batch axis, resetting whole
+    LAYERS across every slot (real deployments hit this at B=8 with the
+    8-layer full-size Mimi transformer and at B=32 with the 32-layer 7B).
+    The structural batch-axes fix must leave the other slot untouched."""
+    from moshi_tpu.serve.batched_moshi import BatchedMoshiState
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.utils.trees import take_slots, state_batch_axes
+
+    B = 2
+    cfg = tiny_lm_config(num_layers=B)  # LM transformer KV: [2, 2, ...]
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())  # mimi transformers: 2 layers
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+
+    state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                              batch_size=B, rng=jax.random.PRNGKey(2))
+    fs = state.frame_size
+    pcm = jnp.asarray(np.random.RandomState(0).randn(B, 1, fs) * 0.1,
+                      jnp.float32)
+    mask = jnp.ones((B,), bool)
+    for _ in range(3):
+        _, _, state.gen_state, state.enc_state, state.dec_state = state._frame(
+            lm_params, mimi_params, state.gen_state, state.enc_state,
+            state.dec_state, pcm, mask)
+
+    idx1 = jnp.asarray([1])
+
+    def slot1_view():
+        return (
+            {k: take_slots(state.gen_state[k], idx1, B, state._ax_gen[k])
+             for k in ("cache", "offsets", "transformer")},
+            take_slots(state.enc_state, idx1, B, state._ax_enc),
+            take_slots(state.dec_state, idx1, B, state._ax_dec),
+        )
+
+    before = jax.tree.map(np.asarray, slot1_view())
+    state.reset_slot(0)
+    after = jax.tree.map(np.asarray, slot1_view())
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+
+    # slot 0 really was reset
+    assert int(state.gen_state["offsets"][0]) == 0
+    assert int(state.gen_state["offsets"][1]) == 3
+    k = np.asarray(state.gen_state["transformer"]["k"])
+    assert k.shape[0] == B and k.shape[1] == B  # the ambiguous layout
+    assert not np.any(k[:, 0]) or np.any(k[:, 1])  # slot 0 cleared, 1 kept
