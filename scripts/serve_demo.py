@@ -59,12 +59,21 @@ state.warmup()
 print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
 
 
-async def client_session(client, idx, results, seconds=None):
+async def client_session(client, idx, results, seconds=None, resume=None,
+                         want_resume=False):
     from aiohttp import WSMsgType
     from moshi_tpu import moshi_native
-    ws = await client.ws_connect("/api/chat")
+    query = ""
+    if want_resume or resume:
+        q = ["resume_support=1"] + ([f"resume={resume}"] if resume else [])
+        query = "?" + "&".join(q)
+    ws = await client.ws_connect("/api/chat" + query)
     hs = await ws.receive_bytes()
     assert hs[:1] == b"\x00"
+    resume_id, resumed = None, False
+    if want_resume or resume:
+        meta = json.loads((await ws.receive_bytes())[1:])
+        resume_id, resumed = meta.get("resume_id"), meta.get("resumed", False)
     writer = moshi_native.OpusStreamWriter(24000)
     reader = moshi_native.OpusStreamReader(24000)
     rs = np.random.RandomState(idx)
@@ -102,18 +111,28 @@ async def client_session(client, idx, results, seconds=None):
     await ws.close()
     wall = time.perf_counter() - t_start
     results[idx] = {"frames_sent": sent, "audio_s_received":
-                    round(got_samples / 24000, 2), "wall_s": round(wall, 2)}
+                    round(got_samples / 24000, 2), "wall_s": round(wall, 2),
+                    **({"resumed": resumed} if (want_resume or resume)
+                       else {})}
+    return resume_id
 
 
 async def churn_slot(client, idx, results, deadline):
-    """Join/leave repeatedly while others stream (live slot-reset churn)."""
-    sessions = 0
+    """Join/leave repeatedly while others stream (live slot-reset churn).
+    Every second rejoin resumes the previous session's snapshot, so the
+    per-slot extract/restore path runs under live batched load too."""
+    sessions = resumes = 0
+    rid = None
     while time.perf_counter() < deadline - 25:
-        await client_session(client, 1000 * sessions + idx, results,
-                             seconds=20)
+        use_resume = rid if sessions % 2 == 1 else None
+        rid = await client_session(client, 1000 * sessions + idx, results,
+                                   seconds=20, resume=use_resume,
+                                   want_resume=True)
+        if use_resume and results[1000 * sessions + idx].get("resumed"):
+            resumes += 1
         sessions += 1
         await asyncio.sleep(2.0)
-    results[f"churn{idx}"] = {"sessions": sessions}
+    results[f"churn{idx}"] = {"sessions": sessions, "resumed": resumes}
 
 
 async def main():
