@@ -34,7 +34,7 @@ from .metrics import REGISTRY, MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, 
 class BatchedMoshiState:
     def __init__(self, mimi, mimi_params, lm, lm_params, text_tokenizer,
                  batch_size: int, rng: jax.Array, mimi_dtype=jnp.float32,
-                 **lm_gen_kwargs):
+                 mesh=None, **lm_gen_kwargs):
         # mimi_dtype=bf16 is a serving knob: the codec is ~27-29% of the
         # big-batch frame in f32 (15.8 ms of 58.7 at B=48, 21.7 of 75.4 at
         # B=64 — BENCH_BATCH.md) and bf16 halves it.  Codes are no longer
@@ -93,6 +93,40 @@ class BatchedMoshiState:
             lambda b: mimi.init_encode_state(b, md))
         self._ax_dec = state_batch_axes(
             lambda b: mimi.init_decode_state(b, md))
+
+        # Multi-chip serving over a (dp, tp) jax.sharding.Mesh: LM weights
+        # tensor-parallel (parallel/mesh.lm_param_spec, incl. quantized
+        # leaves), Mimi replicated, every streaming-state leaf sharded "dp"
+        # on its batch axis (from the structural axes above — the KV batch
+        # axis is axis 1).  GSPMD inserts the ICI collectives inside the
+        # same donated jitted frame; serving semantics are unchanged.
+        self.mesh = mesh
+        self._chunk_shard = self._mask_shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import lm_param_spec
+            assert batch_size % mesh.shape["dp"] == 0, \
+                (batch_size, dict(mesh.shape))
+            specs = lm_param_spec(self.lm_params, mesh)
+            self.lm_params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                self.lm_params, specs)
+            repl = NamedSharding(mesh, P())
+            self.mimi_params = jax.tree.map(
+                lambda x: jax.device_put(x, repl), self.mimi_params)
+
+            def _shard_state(state, axes):
+                def _put(x, ax):
+                    spec = (P() if ax is None
+                            else P(*((None,) * ax + ("dp",))))
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+                return jax.tree.map(_put, state, axes)
+
+            self.gen_state = _shard_state(self.gen_state, self._ax_gen)
+            self.enc_state = _shard_state(self.enc_state, self._ax_enc)
+            self.dec_state = _shard_state(self.dec_state, self._ax_dec)
+            self._chunk_shard = NamedSharding(mesh, P("dp"))
+            self._mask_shard = NamedSharding(mesh, P("dp"))
 
         def _reset(gen_state, enc_state, dec_state, mask):
             fresh = self.lm_gen.init_state(batch_size, gen_state["rng"])
@@ -175,9 +209,16 @@ class BatchedMoshiState:
         # not donated — they're dropped from the store on restore instead
         self._restore = jax.jit(_restore, donate_argnums=(0, 1, 2))
 
+    def _put_inputs(self, chunk, mask):
+        if self.mesh is None:
+            return jnp.asarray(chunk), jnp.asarray(mask)
+        return (jax.device_put(chunk, self._chunk_shard),
+                jax.device_put(mask, self._mask_shard))
+
     def warmup(self):
-        pcm = jnp.zeros((self.batch_size, 1, self.frame_size), jnp.float32)
-        mask = jnp.ones((self.batch_size,), bool)
+        pcm, mask = self._put_inputs(
+            np.zeros((self.batch_size, 1, self.frame_size), np.float32),
+            np.ones((self.batch_size,), bool))
         for _ in range(3):
             # states must be rebound each call: they are donated to the jit
             _, pcm_out, self.gen_state, self.enc_state, self.dec_state = \
@@ -190,15 +231,19 @@ class BatchedMoshiState:
         # all-slots reset through the donated jitted reset: allocating a
         # fresh full state next to the live one doubles the KV footprint
         # and OOMs at max batch
+        mask = np.ones((self.batch_size,), bool)
+        mask_dev = (jnp.asarray(mask) if self.mesh is None
+                    else jax.device_put(mask, self._mask_shard))
         self.gen_state, self.enc_state, self.dec_state = self._reset(
-            self.gen_state, self.enc_state, self.dec_state,
-            jnp.ones((self.batch_size,), bool))
+            self.gen_state, self.enc_state, self.dec_state, mask_dev)
 
     def reset_slot(self, slot: int):
         mask = np.zeros((self.batch_size,), bool)
         mask[slot] = True
+        mask_dev = (jnp.asarray(mask) if self.mesh is None
+                    else jax.device_put(mask, self._mask_shard))
         self.gen_state, self.enc_state, self.dec_state = self._reset(
-            self.gen_state, self.enc_state, self.dec_state, jnp.asarray(mask))
+            self.gen_state, self.enc_state, self.dec_state, mask_dev)
         self.skip_frames[slot] = 1
 
     # ------------------------------------------------------------- resume
@@ -223,7 +268,7 @@ class BatchedMoshiState:
         while len(self._snapshots) >= self.max_snapshots:
             del self._snapshots[next(iter(self._snapshots))]
         snap = self._extract(self.gen_state, self.enc_state, self.dec_state,
-                             jnp.int32(slot))
+                             np.int32(slot))
         self._snapshots[rid] = (time.time() + self.resume_ttl, snap)
 
         async def _offload():
@@ -242,7 +287,7 @@ class BatchedMoshiState:
     def restore_slot(self, slot: int, snap):
         self.gen_state, self.enc_state, self.dec_state = self._restore(
             self.gen_state, self.enc_state, self.dec_state, snap,
-            jnp.int32(slot))
+            np.int32(slot))
         # the stream continues mid-conversation: no first-frame skip
         self.skip_frames[slot] = 0
 
@@ -312,10 +357,11 @@ class BatchedMoshiState:
                 await asyncio.sleep(0)
                 continue
             t0 = time.perf_counter()
+            chunk_dev, mask_dev = self._put_inputs(chunk, mask_np)
             out, pcm_out, self.gen_state, self.enc_state, self.dec_state = \
                 self._frame(self.lm_params, self.mimi_params, self.gen_state,
-                            self.enc_state, self.dec_state, jnp.asarray(chunk),
-                            jnp.asarray(mask_np))
+                            self.enc_state, self.dec_state, chunk_dev,
+                            mask_dev)
             # fetch on a worker thread: the device sync would otherwise block
             # the event loop (and every ws client) for the whole step
             out_np, pcm_np = await asyncio.to_thread(
@@ -421,6 +467,11 @@ def main():
                         help="bf16 halves the codec share of the frame at "
                              "large batch (codes no longer bit-exact vs "
                              "the reference)")
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel ways: serve over a (dp, tp) "
+                             "mesh of all visible chips (LM weights "
+                             "tensor-parallel, batch data-parallel); 0 = "
+                             "single device")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
@@ -436,11 +487,15 @@ def main():
         from ..text.spm import SentencePieceTokenizer
         tokenizer = SentencePieceTokenizer(tok_path)
 
+    mesh = None
+    if args.tp:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(tp=args.tp)
     state = BatchedMoshiState(mimi, mimi_params, lm, lm_params, tokenizer,
                               args.batch_size, jax.random.PRNGKey(0),
                               mimi_dtype=(jnp.bfloat16 if args.mimi_dtype ==
                                           "bf16" else jnp.float32),
-                              **info.lm_gen_config)
+                              mesh=mesh, **info.lm_gen_config)
     state.warmup()
 
     async def metrics_handler(_):

@@ -47,10 +47,24 @@ class ServerState:
     def __init__(self, checkpoint_info: CheckpointInfo, mimi, mimi_params,
                  lm, lm_params, text_tokenizer, cfg_coef: float = 1.0,
                  rng_seed: int = 0, log_dir: str | None = None,
-                 session_timeout: float = 360.0, **lm_gen_kwargs):
+                 session_timeout: float = 360.0, mesh=None, **lm_gen_kwargs):
         self.info = checkpoint_info
         self.mimi, self.mimi_params = mimi, mimi_params
         self.lm, self.lm_params = lm, lm_params
+        # multi-chip serving: LM weights tensor-parallel over the mesh
+        # (parallel/mesh.lm_param_spec), Mimi + B=1 state replicated — the
+        # deployment that needs this is 7B bf16 (~15 GB > one 16 GB chip)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import lm_param_spec
+            specs = lm_param_spec(lm_params, mesh)
+            self.lm_params = jax.tree.map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                lm_params, specs)
+            self._repl = NamedSharding(mesh, P())
+            self.mimi_params = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl), mimi_params)
         self.text_tokenizer = text_tokenizer
         self.frame_size = mimi.frame_size
         # A cfg_coef stored in the checkpoint's lm_gen_config wins over the
@@ -170,6 +184,10 @@ class ServerState:
         self.dec_state = self.mimi.init_decode_state(1)
         self.gen_state = self.lm_gen.init_state(
             1, jax.random.PRNGKey(self.session_seed))
+        if self.mesh is not None:
+            self.enc_state, self.dec_state, self.gen_state = jax.tree.map(
+                lambda x: jax.device_put(x, self._repl),
+                (self.enc_state, self.dec_state, self.gen_state))
         self.steps_done = 0
 
     def warmup(self):
@@ -658,6 +676,9 @@ def main():
     parser.add_argument("--log-dir", type=str, default=None,
                         help="save per-session token logs (safetensors)")
     parser.add_argument("--session-timeout", type=float, default=360.0)
+    parser.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel ways: serve over a (dp=1, tp) "
+                             "mesh of all visible chips; 0 = single device")
     parser.add_argument("--resume-ttl", type=float, default=60.0,
                         help="seconds a disconnected session stays resumable "
                              "via ?resume=<resume_id> (0 disables)")
@@ -690,9 +711,15 @@ def main():
     gen_cfg = dict(info.lm_gen_config)
     ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
     cfg_coef = args.cfg_coef if args.cfg_coef != 1.0 else ckpt_cfg_coef
+    mesh = None
+    if args.tp:
+        from ..parallel.mesh import make_mesh
+        # single-session: use exactly tp chips (dp=1 — no batch to split)
+        mesh = make_mesh(args.tp, tp=args.tp)
     state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
                         cfg_coef, log_dir=args.log_dir,
-                        session_timeout=args.session_timeout, **gen_cfg)
+                        session_timeout=args.session_timeout, mesh=mesh,
+                        **gen_cfg)
     state.resume_ttl = args.resume_ttl
     log("info", "warming up")
     state.warmup()

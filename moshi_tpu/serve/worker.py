@@ -19,6 +19,9 @@ Config example (TOML):
                                       # (memory/capacity knob, BENCH_BATCH.md)
     mimi_dtype = "bf16"               # optional (batched_moshi): halves the
                                       # codec share at large batch
+    tp = 2                            # optional (moshi | batched_moshi):
+                                      # tensor-parallel over all chips
+                                      # (7B bf16 needs 2x 16 GB)
 
     [modules.asr]
     type = "batched_asr"
@@ -144,6 +147,16 @@ def build_module(name: str, mcfg: dict, seed: int):
             lm = LMModel(replace(lm.config, kv_cache_dtype=kv))
         return lm
 
+    def _maybe_mesh(mc, all_devices=True):
+        # TOML `tp = N`: serve this module over a (dp, tp) mesh (LM weights
+        # tensor-parallel).  Batched modules spread their batch over the
+        # remaining chips (dp); single-session modules use exactly tp chips.
+        if not mc.get("tp"):
+            return None
+        from ..parallel.mesh import make_mesh
+        tp = int(mc["tp"])
+        return make_mesh(tp=tp) if all_devices else make_mesh(tp, tp=tp)
+
     if mtype == "moshi":
         from .server import ServerState
         mimi, mimi_params = info.get_mimi()
@@ -154,7 +167,9 @@ def build_module(name: str, mcfg: dict, seed: int):
         state = ServerState(info, mimi, mimi_params, lm, lm_params,
                             _load_tokenizer(ckpt, info),
                             cfg_coef=mcfg.get("cfg_coef", ckpt_cfg_coef),
-                            log_dir=mcfg.get("log_dir"), **gen_cfg)
+                            log_dir=mcfg.get("log_dir"),
+                            mesh=_maybe_mesh(mcfg, all_devices=False),
+                            **gen_cfg)
         state.warmup()
         return route, state.handle_chat, None, {"type": mtype}
 
@@ -169,6 +184,7 @@ def build_module(name: str, mcfg: dict, seed: int):
                                   mimi_dtype=(jnp.bfloat16
                                               if mcfg.get("mimi_dtype") ==
                                               "bf16" else jnp.float32),
+                                  mesh=_maybe_mesh(mcfg),
                                   **info.lm_gen_config)
         state.warmup()
 

@@ -758,3 +758,34 @@ def test_session_resume(tiny_checkpoint):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_server_mesh_tp(tiny_checkpoint):
+    """--tp analog: ServerState over a tp=4 mesh produces the identical
+    greedy stream as the single-device server (the 7B-bf16-on-2-chips
+    deployment; GSPMD sharding must be semantics-preserving)."""
+    import jax
+    import jax.numpy as jnp
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    kw = dict(temp=0.0, temp_text=0.0)
+    single = ServerState(info, mimi, mimi_params, lm, lm_params, None, **kw)
+    sharded = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                          mesh=make_mesh(4, tp=4), **kw)
+
+    rs = np.random.RandomState(0)
+    for _ in range(6):
+        chunk = (rs.randn(single.frame_size) * 0.1).astype(np.float32)
+        pcm_s, tok_s, _ = single.step_frame(chunk)
+        pcm_m, tok_m, _ = sharded.step_frame(chunk)
+        assert tok_s == tok_m
+        assert (pcm_s is None) == (pcm_m is None)
+        if pcm_s is not None:
+            np.testing.assert_allclose(pcm_s, pcm_m, atol=2e-4)

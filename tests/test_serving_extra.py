@@ -590,3 +590,62 @@ def test_per_slot_reset_ambiguous_batch_axis():
     k = np.asarray(state.gen_state["transformer"]["k"])
     assert k.shape[0] == B and k.shape[1] == B  # the ambiguous layout
     assert not np.any(k[:, 0]) or np.any(k[:, 1])  # slot 0 cleared, 1 kept
+
+
+def test_batched_moshi_mesh_serving():
+    """Mesh-sharded batched serving (--tp): a (dp=2, tp=4) virtual mesh must
+    produce the same greedy tokens as the single-device instance, and
+    per-slot reset + snapshot/resume must work on sharded state."""
+    from moshi_tpu.serve.batched_moshi import BatchedMoshiState
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_lm_config(num_heads=4)  # heads divisible by tp=4
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+
+    B = 4
+    kw = dict(batch_size=B, temp=0.0, temp_text=0.0)
+    # separate rng arrays: the first instance's donated step would delete a
+    # shared key buffer out from under the second
+    single = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                               rng=jax.random.PRNGKey(2), **kw)
+    mesh = make_mesh(8, tp=4)
+    sharded = BatchedMoshiState(mimi, mimi_params, lm, lm_params, None,
+                                rng=jax.random.PRNGKey(2), mesh=mesh, **kw)
+
+    fs = single.frame_size
+    rs = np.random.RandomState(0)
+    pcm = (rs.randn(B, 1, fs) * 0.1).astype(np.float32)
+    mask = np.ones((B,), bool)
+
+    def step(st):
+        c, m = st._put_inputs(pcm, mask)
+        out, pcm_out, st.gen_state, st.enc_state, st.dec_state = st._frame(
+            st.lm_params, st.mimi_params, st.gen_state, st.enc_state,
+            st.dec_state, c, m)
+        return np.asarray(out), np.asarray(pcm_out)
+
+    for i in range(4):
+        out_s, pcm_s = step(single)
+        out_m, pcm_m = step(sharded)
+        np.testing.assert_array_equal(out_s, out_m)
+        np.testing.assert_allclose(pcm_s, pcm_m, atol=2e-4)
+
+    # per-slot reset on sharded state leaves the other slots untouched
+    before1 = np.asarray(sharded.gen_state["offsets"])
+    sharded.reset_slot(0)
+    off = np.asarray(sharded.gen_state["offsets"])
+    assert off[0] == 0 and (off[1:] == before1[1:]).all()
+
+    # snapshot/restore round-trip on sharded state
+    rid_state = sharded._extract(sharded.gen_state, sharded.enc_state,
+                                 sharded.dec_state, np.int32(1))
+    sharded.restore_slot(2, rid_state)
+    off2 = np.asarray(sharded.gen_state["offsets"])
+    assert off2[2] == off[1]
