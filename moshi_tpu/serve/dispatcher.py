@@ -1,0 +1,214 @@
+"""Multi-worker session dispatcher — the fleet front.
+
+The reference web client queues through a hosted service
+(client/src/pages/Queue/api/client.ts polls add_user/check_user on
+kyutai's closed infra; the repo ships only the client half).  This module
+is that service: one dispatcher fronts N moshi_tpu workers (single-session
+servers, batched servers, or worker.py deployments) and hands queued
+clients a `worker_addr` via the same HTTP API with validator-exact
+response shapes (`serve/server.py:QueueAPI` is the single-server variant).
+
+Load tracking: each worker's live `open_channels` gauge is polled from its
+/metrics endpoint (derived from the ws address) every `--poll` seconds;
+sessions the dispatcher just handed out are counted as short-lived
+"leases" until the polled gauge absorbs them (or they expire).  Workers
+whose /metrics is unreachable fall back to lease-only accounting; workers
+that fail to answer at all are skipped.
+
+Usage:
+    python -m moshi_tpu.serve.dispatcher --port 8090 \\
+        --worker ws://host1:8998/api/chat=16 \\
+        --worker ws://host2:8998/api/chat=16
+
+Each --worker is ADDR=CAPACITY (capacity = the worker's --batch-size, or
+1 for a single-session server).
+"""
+
+import argparse
+import asyncio
+import re
+import time
+
+
+def log(level: str, msg: str):
+    print(f"[{level}] {msg}", flush=True)
+
+
+def metrics_url(ws_addr: str) -> str:
+    """ws://host:port/any/path -> http://host:port/metrics."""
+    m = re.match(r"^ws(s?)://([^/]+)", ws_addr)
+    if not m:
+        raise ValueError(f"not a ws url: {ws_addr}")
+    return f"http{m.group(1)}://{m.group(2)}/metrics"
+
+
+class Worker:
+    def __init__(self, addr: str, capacity: int, lease_ttl: float = 20.0):
+        self.addr = addr
+        self.capacity = capacity
+        self.metrics_url = metrics_url(addr)
+        self.lease_ttl = lease_ttl
+        self.open: int | None = None   # last polled open_channels (None=unknown)
+        self.reachable = True          # poll ever succeeded / last poll ok
+        self._leases: list[float] = []  # expiry timestamps
+
+    def lease(self):
+        self._leases.append(time.time() + self.lease_ttl)
+
+    def load(self) -> int:
+        now = time.time()
+        self._leases = [t for t in self._leases if t > now]
+        # the polled gauge eventually counts leased sessions too; using the
+        # max avoids double counting while staying safe during the gap
+        polled = self.open if self.open is not None else 0
+        return max(polled, len(self._leases))
+
+    def has_room(self) -> bool:
+        return self.reachable and self.load() < self.capacity
+
+
+class Dispatcher:
+    """FIFO ticket queue over a worker pool (transport-independent core)."""
+
+    def __init__(self, workers: list[Worker], ttl: float = 30.0):
+        self.workers = workers
+        self.ttl = ttl  # ticket expiry without a check_user poll
+        self._tickets: dict[int, dict] = {}
+        self._counter = 0
+
+    def _expire(self):
+        now = time.time()
+        for sid in [s for s, t in self._tickets.items()
+                    if now - t["last_seen"] > self.ttl]:
+            del self._tickets[sid]
+
+    def add_user(self) -> dict:
+        import secrets
+        self._expire()
+        sid = self._counter
+        self._counter += 1
+        self._tickets[sid] = {"auth": secrets.token_hex(16),
+                              "last_seen": time.time()}
+        return {"session_id": sid,
+                "session_auth_id": self._tickets[sid]["auth"]}
+
+    def check_user(self, sid: int, auth: str) -> dict | None:
+        """None = unknown ticket/auth."""
+        self._expire()
+        ticket = self._tickets.get(sid)
+        if ticket is None or ticket["auth"] != auth:
+            return None
+        ticket["last_seen"] = time.time()
+        ahead = sum(1 for s in self._tickets if s < sid)
+        worker = None
+        if ahead == 0:
+            worker = min((w for w in self.workers if w.has_room()),
+                         key=lambda w: w.load() / max(w.capacity, 1),
+                         default=None)
+        if worker is not None:
+            del self._tickets[sid]
+            worker.lease()
+            return {"session_id": sid, "status": "ready",
+                    "worker_auth_id": auth, "worker_addr": worker.addr,
+                    "current_position": "0"}
+        return {"session_id": sid, "status": "wait", "worker_auth_id": None,
+                "worker_addr": None, "current_position": str(ahead)}
+
+    def stats(self) -> dict:
+        return {"queued": len(self._tickets),
+                "workers": [{"addr": w.addr, "capacity": w.capacity,
+                             "open": w.open, "reachable": w.reachable,
+                             "load": w.load()} for w in self.workers]}
+
+
+async def poll_workers(workers: list[Worker], interval: float = 2.0):
+    """Refresh every worker's open_channels from its /metrics."""
+    import aiohttp
+    async with aiohttp.ClientSession() as sess:
+        while True:
+            for w in workers:
+                try:
+                    async with sess.get(w.metrics_url,
+                                        timeout=aiohttp.ClientTimeout(
+                                            total=interval)) as r:
+                        text = await r.text()
+                    m = re.search(r"^open_channels (\d+(?:\.\d+)?)$", text,
+                                  re.MULTILINE)
+                    w.open = int(float(m.group(1))) if m else None
+                    w.reachable = True
+                except Exception:
+                    # connection failure: the ws address is dead too — skip
+                    # this worker until a poll succeeds.  (A reachable host
+                    # without /metrics gets a 404 above: lease-only
+                    # accounting, still assignable.)
+                    w.open = None
+                    w.reachable = False
+            await asyncio.sleep(interval)
+
+
+def add_routes(app, disp: Dispatcher):
+    from aiohttp import web
+
+    async def add_user(request):
+        out = disp.add_user()
+        log("info", f"queue: ticket {out['session_id']} issued "
+                    f"(queue_id={request.rel_url.query.get('queue_id')})")
+        return web.json_response(out)
+
+    async def check_user(request):
+        q = request.rel_url.query
+        try:
+            sid = int(q.get("session_id", ""))
+        except ValueError:
+            return web.Response(status=400, text="bad session_id")
+        out = disp.check_user(sid, q.get("session_auth_id"))
+        if out is None:
+            return web.Response(status=404, text="unknown session")
+        return web.json_response(out)
+
+    async def user_feedback(request):
+        log("info", f"user_feedback: {dict(request.rel_url.query)}")
+        return web.json_response({"ok": True})
+
+    async def stats(_):
+        return web.json_response(disp.stats())
+
+    app.router.add_get("/add_user", add_user)
+    app.router.add_get("/check_user", check_user)
+    app.router.add_get("/user_feedback", user_feedback)
+    app.router.add_get("/stats", stats)
+
+
+def main():
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8090)
+    parser.add_argument("--worker", action="append", required=True,
+                        metavar="ADDR=CAPACITY",
+                        help="ws address + session capacity, repeatable")
+    parser.add_argument("--poll", type=float, default=2.0)
+    parser.add_argument("--ticket-ttl", type=float, default=30.0)
+    args = parser.parse_args()
+
+    workers = []
+    for spec in args.worker:
+        addr, _, cap = spec.partition("=")
+        workers.append(Worker(addr, int(cap or "1")))
+    disp = Dispatcher(workers, ttl=args.ticket_ttl)
+
+    app = web.Application()
+    add_routes(app, disp)
+
+    async def on_startup(app_):
+        app_["poll_task"] = asyncio.create_task(
+            poll_workers(workers, args.poll))
+
+    app.on_startup.append(on_startup)
+    log("info", f"dispatching over {len(workers)} workers")
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
