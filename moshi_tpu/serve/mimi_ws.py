@@ -109,6 +109,75 @@ class Tokenizer:
         self._dec_state = None
 
 
+class StreamTokenizer:
+    """Background-thread streaming codec, the `rustymimi.StreamTokenizer`
+    analog (rust/mimi-pyo3/src/lib.rs:239-364): `encode(pcm_1d)` /
+    `decode(codes_2d)` enqueue work for dedicated worker threads (each
+    owning its own streaming state), `get_encoded()` / `get_decoded()`
+    poll results without blocking (None when empty).  This is the codec
+    half of the two-process local app pattern (moshi_mlx local.py:155:
+    mic + codec in one process, LM in another).
+
+    pcm chunks must be positive multiples of `mimi.frame_size`; codes are
+    [K, n] int32 per chunk, decoded pcm is 1-D float32."""
+
+    def __init__(self, mimi, mimi_params):
+        import queue
+        import threading
+        self.mimi, self.params = mimi, mimi_params
+        self._q = queue
+        self._enc_in: queue.Queue = queue.Queue()
+        self._enc_out: queue.Queue = queue.Queue()
+        self._dec_in: queue.Queue = queue.Queue()
+        self._dec_out: queue.Queue = queue.Queue()
+        self._encode_step = jax.jit(mimi.encode_step, donate_argnums=1)
+        self._decode_step = jax.jit(mimi.decode_step, donate_argnums=1)
+        for fn in (self._enc_loop, self._dec_loop):
+            threading.Thread(target=fn, daemon=True).start()
+
+    def _enc_loop(self):
+        state = self.mimi.init_encode_state(1)
+        while True:
+            pcm = self._enc_in.get()
+            if pcm is None:
+                return
+            codes, state = self._encode_step(self.params, state,
+                                             jnp.asarray(pcm)[None, None])
+            self._enc_out.put(np.asarray(codes)[0])
+
+    def _dec_loop(self):
+        state = self.mimi.init_decode_state(1)
+        while True:
+            codes = self._dec_in.get()
+            if codes is None:
+                return
+            pcm, state = self._decode_step(self.params, state,
+                                           jnp.asarray(codes)[None])
+            self._dec_out.put(np.asarray(pcm)[0, 0])
+
+    def encode(self, pcm: np.ndarray):
+        self._enc_in.put(np.ascontiguousarray(pcm, np.float32))
+
+    def decode(self, codes: np.ndarray):
+        self._dec_in.put(np.ascontiguousarray(codes, np.int32))
+
+    def get_encoded(self) -> np.ndarray | None:
+        try:
+            return self._enc_out.get_nowait()
+        except self._q.Empty:
+            return None
+
+    def get_decoded(self) -> np.ndarray | None:
+        try:
+            return self._dec_out.get_nowait()
+        except self._q.Empty:
+            return None
+
+    def close(self):
+        self._enc_in.put(None)
+        self._dec_in.put(None)
+
+
 # ---------------------------------------------------------------- broadcast
 class MimiRoom:
     """One broadcast room (reference moshi-server mimi.rs: a single producer

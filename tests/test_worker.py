@@ -247,3 +247,55 @@ def test_mimi_broadcast_room():
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_stream_tokenizer_threads():
+    """StreamTokenizer (rustymimi analog): background-thread encode/decode
+    round-trip matches the synchronous streaming Tokenizer exactly."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from test_lm import tiny_lm_config  # noqa: F401 (sys.path side effect)
+    from test_mimi import tiny_mimi_config
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.serve.mimi_ws import Tokenizer, StreamTokenizer
+
+    mimi = MimiModel(tiny_mimi_config())
+    params = mimi.init_params(jax.random.PRNGKey(0))
+    sync = Tokenizer(mimi, params)
+    stream = StreamTokenizer(mimi, params)
+
+    fs = mimi.frame_size
+    rs = np.random.RandomState(0)
+    chunks = [(rs.randn(fs) * 0.1).astype(np.float32) for _ in range(3)]
+
+    # threaded encode == synchronous streaming encode, order preserved
+    for c in chunks:
+        stream.encode(c)
+    got = []
+    deadline = time.time() + 60
+    while len(got) < 3 and time.time() < deadline:
+        out = stream.get_encoded()
+        if out is None:
+            time.sleep(0.01)
+            continue
+        got.append(out)
+    assert len(got) == 3
+    for c, codes in zip(chunks, got):
+        ref = sync.encode_step(c[None, None])[0]
+        np.testing.assert_array_equal(codes, ref)
+
+    # threaded decode round-trip
+    stream.decode(got[0])
+    deadline = time.time() + 60
+    pcm = None
+    while pcm is None and time.time() < deadline:
+        pcm = stream.get_decoded()
+        if pcm is None:
+            time.sleep(0.01)
+    assert pcm is not None and pcm.shape == (fs,)
+    ref_pcm = sync.decode_step(got[0][None])[0, 0]
+    np.testing.assert_array_equal(pcm, ref_pcm)
+    assert stream.get_decoded() is None  # non-blocking empty poll
+    stream.close()
