@@ -215,6 +215,10 @@ class BatchedMoshiState:
         return (jax.device_put(chunk, self._chunk_shard),
                 jax.device_put(mask, self._mask_shard))
 
+    def _put_mask(self, mask):
+        return (jnp.asarray(mask) if self.mesh is None
+                else jax.device_put(mask, self._mask_shard))
+
     def warmup(self):
         pcm, mask = self._put_inputs(
             np.zeros((self.batch_size, 1, self.frame_size), np.float32),
@@ -231,19 +235,16 @@ class BatchedMoshiState:
         # all-slots reset through the donated jitted reset: allocating a
         # fresh full state next to the live one doubles the KV footprint
         # and OOMs at max batch
-        mask = np.ones((self.batch_size,), bool)
-        mask_dev = (jnp.asarray(mask) if self.mesh is None
-                    else jax.device_put(mask, self._mask_shard))
         self.gen_state, self.enc_state, self.dec_state = self._reset(
-            self.gen_state, self.enc_state, self.dec_state, mask_dev)
+            self.gen_state, self.enc_state, self.dec_state,
+            self._put_mask(np.ones((self.batch_size,), bool)))
 
     def reset_slot(self, slot: int):
         mask = np.zeros((self.batch_size,), bool)
         mask[slot] = True
-        mask_dev = (jnp.asarray(mask) if self.mesh is None
-                    else jax.device_put(mask, self._mask_shard))
         self.gen_state, self.enc_state, self.dec_state = self._reset(
-            self.gen_state, self.enc_state, self.dec_state, mask_dev)
+            self.gen_state, self.enc_state, self.dec_state,
+            self._put_mask(mask))
         self.skip_frames[slot] = 1
 
     # ------------------------------------------------------------- resume

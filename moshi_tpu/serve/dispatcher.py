@@ -58,23 +58,29 @@ class Worker:
     def load(self) -> int:
         now = time.time()
         self._leases = [t for t in self._leases if t > now]
-        # the polled gauge eventually counts leased sessions too; using the
-        # max avoids double counting while staying safe during the gap
-        polled = self.open if self.open is not None else 0
-        return max(polled, len(self._leases))
+        # leases cover the assignment-to-connect gap.  polled + leases can
+        # briefly double-count a just-connected session (until its lease
+        # expires) — conservative by design: a max() would instead let two
+        # head-of-queue polls inside one stale poll window both read
+        # capacity-1 and overcommit the worker.
+        return (self.open or 0) + len(self._leases)
 
     def has_room(self) -> bool:
         return self.reachable and self.load() < self.capacity
 
 
-class Dispatcher:
-    """FIFO ticket queue over a worker pool (transport-independent core)."""
+class TicketQueue:
+    """FIFO ticket store with expiry and validator-exact responses — the
+    shared core of the single-server QueueAPI (serve/server.py) and the
+    fleet Dispatcher below."""
 
-    def __init__(self, workers: list[Worker], ttl: float = 30.0):
-        self.workers = workers
+    def __init__(self, ttl: float = 30.0):
         self.ttl = ttl  # ticket expiry without a check_user poll
         self._tickets: dict[int, dict] = {}
         self._counter = 0
+
+    def __len__(self):
+        return len(self._tickets)
 
     def _expire(self):
         now = time.time()
@@ -82,7 +88,7 @@ class Dispatcher:
                     if now - t["last_seen"] > self.ttl]:
             del self._tickets[sid]
 
-    def add_user(self) -> dict:
+    def add(self) -> dict:
         import secrets
         self._expire()
         sid = self._counter
@@ -92,57 +98,81 @@ class Dispatcher:
         return {"session_id": sid,
                 "session_auth_id": self._tickets[sid]["auth"]}
 
-    def check_user(self, sid: int, auth: str) -> dict | None:
-        """None = unknown ticket/auth."""
+    def check(self, sid: int, auth: str, try_assign) -> dict | None:
+        """None = unknown ticket/auth.  `try_assign() -> worker_addr | None`
+        is consulted only when `sid` is at the head of the queue."""
         self._expire()
         ticket = self._tickets.get(sid)
         if ticket is None or ticket["auth"] != auth:
             return None
         ticket["last_seen"] = time.time()
         ahead = sum(1 for s in self._tickets if s < sid)
-        worker = None
-        if ahead == 0:
-            worker = min((w for w in self.workers if w.has_room()),
-                         key=lambda w: w.load() / max(w.capacity, 1),
-                         default=None)
-        if worker is not None:
+        addr = try_assign() if ahead == 0 else None
+        if addr is not None:
             del self._tickets[sid]
-            worker.lease()
             return {"session_id": sid, "status": "ready",
-                    "worker_auth_id": auth, "worker_addr": worker.addr,
+                    "worker_auth_id": auth, "worker_addr": addr,
                     "current_position": "0"}
         return {"session_id": sid, "status": "wait", "worker_auth_id": None,
                 "worker_addr": None, "current_position": str(ahead)}
 
+
+class Dispatcher:
+    """FIFO ticket queue over a worker pool (transport-independent core)."""
+
+    def __init__(self, workers: list[Worker], ttl: float = 30.0):
+        self.workers = workers
+        self.queue = TicketQueue(ttl)
+
+    def add_user(self) -> dict:
+        return self.queue.add()
+
+    def _assign(self) -> str | None:
+        worker = min((w for w in self.workers if w.has_room()),
+                     key=lambda w: w.load() / max(w.capacity, 1),
+                     default=None)
+        if worker is None:
+            return None
+        worker.lease()
+        return worker.addr
+
+    def check_user(self, sid: int, auth: str) -> dict | None:
+        return self.queue.check(sid, auth, self._assign)
+
     def stats(self) -> dict:
-        return {"queued": len(self._tickets),
+        return {"queued": len(self.queue),
                 "workers": [{"addr": w.addr, "capacity": w.capacity,
                              "open": w.open, "reachable": w.reachable,
                              "load": w.load()} for w in self.workers]}
 
 
 async def poll_workers(workers: list[Worker], interval: float = 2.0):
-    """Refresh every worker's open_channels from its /metrics."""
+    """Refresh every worker's open_channels from its /metrics.  Workers are
+    polled concurrently so a dead host's timeout never stalls the fleet's
+    gauge refresh."""
     import aiohttp
+
+    async def poll_one(sess, w):
+        try:
+            async with sess.get(w.metrics_url,
+                                timeout=aiohttp.ClientTimeout(
+                                    total=interval)) as r:
+                text = await r.text()
+            m = re.search(r"^open_channels (\d+(?:\.\d+)?)$", text,
+                          re.MULTILINE)
+            w.open = int(float(m.group(1))) if m else None
+            w.reachable = True
+        except Exception:
+            # connection failure: the ws address is dead too — skip this
+            # worker until a poll succeeds.  (A reachable host without
+            # /metrics gets a 404 above: lease-only accounting, still
+            # assignable.)
+            w.open = None
+            w.reachable = False
+
     async with aiohttp.ClientSession() as sess:
         while True:
-            for w in workers:
-                try:
-                    async with sess.get(w.metrics_url,
-                                        timeout=aiohttp.ClientTimeout(
-                                            total=interval)) as r:
-                        text = await r.text()
-                    m = re.search(r"^open_channels (\d+(?:\.\d+)?)$", text,
-                                  re.MULTILINE)
-                    w.open = int(float(m.group(1))) if m else None
-                    w.reachable = True
-                except Exception:
-                    # connection failure: the ws address is dead too — skip
-                    # this worker until a poll succeeds.  (A reachable host
-                    # without /metrics gets a 404 above: lease-only
-                    # accounting, still assignable.)
-                    w.open = None
-                    w.reachable = False
+            await asyncio.gather(*(poll_one(sess, w) for w in workers))
             await asyncio.sleep(interval)
 
 

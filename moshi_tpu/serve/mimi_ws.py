@@ -141,9 +141,12 @@ class StreamTokenizer:
             pcm = self._enc_in.get()
             if pcm is None:
                 return
-            codes, state = self._encode_step(self.params, state,
-                                             jnp.asarray(pcm)[None, None])
-            self._enc_out.put(np.asarray(codes)[0])
+            try:
+                codes, state = self._encode_step(
+                    self.params, state, jnp.asarray(pcm)[None, None])
+                self._enc_out.put(np.asarray(codes)[0])
+            except Exception as e:  # parked for get_encoded to re-raise
+                self._enc_out.put(e)
 
     def _dec_loop(self):
         state = self.mimi.init_decode_state(1)
@@ -151,27 +154,37 @@ class StreamTokenizer:
             codes = self._dec_in.get()
             if codes is None:
                 return
-            pcm, state = self._decode_step(self.params, state,
-                                           jnp.asarray(codes)[None])
-            self._dec_out.put(np.asarray(pcm)[0, 0])
+            try:
+                pcm, state = self._decode_step(self.params, state,
+                                               jnp.asarray(codes)[None])
+                self._dec_out.put(np.asarray(pcm)[0, 0])
+            except Exception as e:  # parked for get_decoded to re-raise
+                self._dec_out.put(e)
 
     def encode(self, pcm: np.ndarray):
-        self._enc_in.put(np.ascontiguousarray(pcm, np.float32))
+        pcm = np.ascontiguousarray(pcm, np.float32)
+        if pcm.size == 0 or pcm.size % self.mimi.frame_size:
+            raise ValueError(f"pcm length {pcm.size} is not a positive "
+                             f"multiple of frame_size {self.mimi.frame_size}")
+        self._enc_in.put(pcm)
 
     def decode(self, codes: np.ndarray):
         self._dec_in.put(np.ascontiguousarray(codes, np.int32))
 
-    def get_encoded(self) -> np.ndarray | None:
+    def _poll(self, q):
         try:
-            return self._enc_out.get_nowait()
+            out = q.get_nowait()
         except self._q.Empty:
             return None
+        if isinstance(out, Exception):
+            raise out  # surfaced from the worker thread, which stays alive
+        return out
+
+    def get_encoded(self) -> np.ndarray | None:
+        return self._poll(self._enc_out)
 
     def get_decoded(self) -> np.ndarray | None:
-        try:
-            return self._dec_out.get_nowait()
-        except self._q.Empty:
-            return None
+        return self._poll(self._dec_out)
 
     def close(self):
         self._enc_in.put(None)

@@ -37,6 +37,7 @@ from ..models.loaders import CheckpointInfo
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN
 from . import protocol as proto
+from .metrics import OPEN_CHANNELS, CONNECT_COUNT
 
 
 def log(level: str, msg: str):
@@ -308,6 +309,7 @@ class ServerState:
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         log("info", "accepted connection")
+        CONNECT_COUNT.inc()
         sid = self._session_counter
         self._session_counter += 1
         self._session_order.append(sid)
@@ -317,9 +319,11 @@ class ServerState:
         except Exception:
             self._session_order.remove(sid)
             raise
+        OPEN_CHANNELS.inc()  # live-load signal for the fleet dispatcher
         try:
             await self._serve_session(ws, request)
         finally:
+            OPEN_CHANNELS.dec()
             self._session_order.remove(sid)
             self.lock.release()
         return ws
@@ -602,54 +606,31 @@ class QueueAPI:
     ws lock has a free slot for this ticket."""
 
     def __init__(self, state: ServerState, worker_addr: str, ttl: float = 30.0):
+        from .dispatcher import TicketQueue
         self.state = state
         self.worker_addr = worker_addr
-        self.ttl = ttl
-        self._tickets: dict[int, dict] = {}  # sid -> {auth, last_seen}
-        self._counter = 0
-
-    def _expire(self):
-        now = time.time()
-        for sid in [s for s, t in self._tickets.items()
-                    if now - t["last_seen"] > self.ttl]:
-            del self._tickets[sid]
+        self.queue = TicketQueue(ttl)  # shared core with the fleet dispatcher
 
     async def add_user(self, request):
         from aiohttp import web
-        import secrets
-        self._expire()
-        sid = self._counter
-        self._counter += 1
-        self._tickets[sid] = {"auth": secrets.token_hex(16),
-                              "last_seen": time.time()}
-        log("info", f"queue: ticket {sid} issued "
+        out = self.queue.add()
+        log("info", f"queue: ticket {out['session_id']} issued "
                     f"(queue_id={request.rel_url.query.get('queue_id')})")
-        return web.json_response(
-            {"session_id": sid, "session_auth_id": self._tickets[sid]["auth"]})
+        return web.json_response(out)
 
     async def check_user(self, request):
         from aiohttp import web
-        self._expire()
         q = request.rel_url.query
         try:
             sid = int(q.get("session_id", ""))
         except ValueError:
             return web.Response(status=400, text="bad session_id")
-        ticket = self._tickets.get(sid)
-        if ticket is None or ticket["auth"] != q.get("session_auth_id"):
+        out = self.queue.check(
+            sid, q.get("session_auth_id"),
+            lambda: None if self.state.lock.locked() else self.worker_addr)
+        if out is None:
             return web.Response(status=404, text="unknown session")
-        ticket["last_seen"] = time.time()
-        ahead = sum(1 for s in self._tickets if s < sid)
-        ready = ahead == 0 and not self.state.lock.locked()
-        if ready:
-            del self._tickets[sid]  # the client connects to the ws now
-        return web.json_response({
-            "session_id": sid,
-            "status": "ready" if ready else "wait",
-            "worker_auth_id": ticket["auth"] if ready else None,
-            "worker_addr": self.worker_addr if ready else None,
-            "current_position": str(ahead),
-        })
+        return web.json_response(out)
 
     async def user_feedback(self, request):
         from aiohttp import web
