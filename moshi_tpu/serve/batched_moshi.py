@@ -476,8 +476,18 @@ def main():
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
-    mimi, mimi_params = info.get_mimi()
-    lm, lm_params = info.get_moshi()
+    # with --tp, stage the load in host memory so the weights never pile
+    # onto one chip before the sharded device_put (see serve/server.py)
+    import contextlib
+    stage = contextlib.nullcontext()
+    if args.tp:
+        try:
+            stage = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    with stage:
+        mimi, mimi_params = info.get_mimi()
+        lm, lm_params = info.get_moshi()
     if args.kv_cache:
         from dataclasses import replace
         from ..models.lm import LMModel

@@ -674,10 +674,21 @@ def main():
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
-    log("info", "loading mimi")
-    mimi, mimi_params = info.get_mimi()
-    log("info", "loading moshi")
-    lm, lm_params = info.get_moshi()
+    # With --tp the weights must NOT land on one chip before sharding: a
+    # bf16 7B (~15 GB) OOMs a single 16 GB chip.  Stage the load in host
+    # memory; the mesh device_put then moves each shard directly.
+    import contextlib
+    stage = contextlib.nullcontext()
+    if args.tp:
+        try:
+            stage = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    with stage:
+        log("info", "loading mimi")
+        mimi, mimi_params = info.get_mimi()
+        log("info", "loading moshi")
+        lm, lm_params = info.get_moshi()
     if args.kv_cache:
         from dataclasses import replace
         from ..models.lm import LMModel

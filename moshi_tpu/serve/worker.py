@@ -147,6 +147,17 @@ def build_module(name: str, mcfg: dict, seed: int):
             lm = LMModel(replace(lm.config, kv_cache_dtype=kv))
         return lm
 
+    def _stage_load(mc):
+        # with tp, stage weights in host memory so they never pile onto one
+        # chip before the sharded device_put (see serve/server.py)
+        import contextlib
+        if not mc.get("tp"):
+            return contextlib.nullcontext()
+        try:
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            return contextlib.nullcontext()
+
     def _maybe_mesh(mc, all_devices=True):
         # TOML `tp = N`: serve this module over a (dp, tp) mesh (LM weights
         # tensor-parallel).  Batched modules spread their batch over the
@@ -159,8 +170,9 @@ def build_module(name: str, mcfg: dict, seed: int):
 
     if mtype == "moshi":
         from .server import ServerState
-        mimi, mimi_params = info.get_mimi()
-        lm, lm_params = info.get_moshi()
+        with _stage_load(mcfg):
+            mimi, mimi_params = info.get_mimi()
+            lm, lm_params = info.get_moshi()
         lm = maybe_override_kv(lm)
         gen_cfg = dict(info.lm_gen_config)
         ckpt_cfg_coef = gen_cfg.pop("cfg_coef", 1.0)
@@ -175,8 +187,9 @@ def build_module(name: str, mcfg: dict, seed: int):
 
     if mtype == "batched_moshi":
         from .batched_moshi import BatchedMoshiState, handle_chat
-        mimi, mimi_params = info.get_mimi()
-        lm, lm_params = info.get_moshi()
+        with _stage_load(mcfg):
+            mimi, mimi_params = info.get_mimi()
+            lm, lm_params = info.get_moshi()
         lm = maybe_override_kv(lm)
         state = BatchedMoshiState(mimi, mimi_params, lm, lm_params,
                                   _load_tokenizer(ckpt, info),
