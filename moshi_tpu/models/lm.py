@@ -49,6 +49,9 @@ class LmConfig:
     norm: str = "rms_norm_f32"
     context: int | None = 100
     causal: bool = True
+    # layer-wise activation remat in the temporal transformer's training
+    # forward (modules/transformer.py TransformerConfig.remat)
+    remat: bool = False
     max_period: float = 10_000.0
     gating: str = "silu"
     positional_embedding: str = "rope"
@@ -148,7 +151,8 @@ class LmConfig:
             cross_attention_kv_dim=self.cross_attention_kv_dim,
             shared_cross_attn=self.shared_cross_attn,
             kv_cache_dtype=self.kv_cache_dtype,
-            attention_int8_qk=self.attention_int8_qk)
+            attention_int8_qk=self.attention_int8_qk,
+            remat=self.remat)
 
     @property
     def depformer_config(self) -> TransformerConfig:

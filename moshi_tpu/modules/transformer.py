@@ -130,6 +130,12 @@ class TransformerConfig:
     # at speed (the s4 convert does not fuse; measured 75 GB/s vs 403 for
     # int8).  Unlocks B=16 at the full 4-minute context on one v5e.
     kv_cache_dtype: str = "model"  # model | int8 | int4
+    # Layer-wise activation rematerialization for the offline/training
+    # forward: each scan-layer's intermediates are recomputed in the
+    # backward pass instead of stored (jax.checkpoint with the
+    # dots-saveable policy keeps the matmul outputs — the classic
+    # memory/FLOPs trade that fits 7B training activations in 16 GB HBM).
+    remat: bool = False
     # With int8 KV, also quantize the query per row and compute the QK^T
     # scores as a native int8 x int8 MXU dot (int32 accumulate) instead of
     # dequantizing K to bf16 — removes the convert from the score matmul's
@@ -578,6 +584,10 @@ class StreamingTransformer:
             xs = params["layers"]
         else:
             xs = (params["layers"], cross["k_cross"], cross["v_cross"])
+        if c.remat:
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         x, _ = lax.scan(body, x, xs)
         return x
 

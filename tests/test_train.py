@@ -137,3 +137,31 @@ def test_train_state_roundtrip_lora_quantized_leaves():
     np.testing.assert_allclose(
         np.asarray(lw.astype(jnp.float32)),
         np.asarray(params["lin"]["weight"].astype(jnp.float32)))
+
+
+def test_remat_gradients_match():
+    """remat=True recomputes layer activations in backward; loss and
+    gradients must match the stored-activation path exactly."""
+    from dataclasses import replace
+    from moshi_tpu.models.lm import LMModel
+    from moshi_tpu.train import make_loss_fn
+    from test_lm import tiny_lm_config
+
+    cfg = tiny_lm_config()
+    model = LMModel(cfg)
+    model_r = LMModel(replace(cfg, remat=True))
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    codes = jax.random.randint(jax.random.PRNGKey(1),
+                               (2, cfg.num_codebooks, 6), 0, cfg.card)
+
+    def grads(m):
+        (loss, _), g = jax.value_and_grad(make_loss_fn(m), has_aux=True)(
+            params, codes)
+        return loss, g
+
+    loss0, g0 = jax.jit(lambda: grads(model))()
+    loss1, g1 = jax.jit(lambda: grads(model_r))()
+    np.testing.assert_allclose(np.asarray(loss0), np.asarray(loss1),
+                               rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
