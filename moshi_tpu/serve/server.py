@@ -105,14 +105,16 @@ class ServerState:
         self._default_gen = (self.lm_gen, self._step)
         self.max_steps = 4500  # rust cap (stream_both.rs:149)
         self.session_seed = rng_seed
-        # one-shot session-resume snapshot (state-is-data makes this free:
-        # the last step's output pytrees ARE the session; reference analog
-        # is get/set_streaming_state, streaming.py:158-181, which nothing
-        # in the reference serving stack ever calls).  At most one snapshot
-        # is held (one extra B=1 state in HBM); it is consumed on restore
-        # because stepping donates the restored buffers.
+        # session-resume snapshots (state-is-data makes this free: the last
+        # step's output pytrees ARE the session; reference analog is
+        # get/set_streaming_state, streaming.py:158-181, which nothing in
+        # the reference serving stack ever calls).  Snapshots move to host
+        # RAM in the background so queued sessions can each keep one
+        # without pinning HBM; restore is one-shot because stepping donates
+        # the restored buffers.
         self.resume_ttl = 60.0
-        self._snapshot: dict | None = None
+        self.max_snapshots = 4
+        self._snapshots: dict[str, tuple[float, dict]] = {}
         self._resume_id: str | None = None
         self.reset()
 
@@ -262,31 +264,60 @@ class ServerState:
         self.enc_state = self.mimi.init_encode_state(1)
 
     # ------------------------------------------------------------- resume
+    def _sweep_snapshots(self):
+        now = time.time()
+        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
+            del self._snapshots[k]
+
     def _store_snapshot(self):
         """Snapshot the full streaming state at disconnect, keyed by the
-        resume_id announced to the client at session start."""
-        if self._resume_id is None or self.resume_ttl <= 0:
+        resume_id announced to the client at session start.  Multiple
+        snapshots are kept (so queued users' resumes survive intervening
+        sessions), offloaded to host RAM in the background."""
+        rid = self._resume_id
+        self._resume_id = None
+        if rid is None or self.resume_ttl <= 0:
             return
-        self._snapshot = {
-            "token": self._resume_id,
-            "expires": time.time() + self.resume_ttl,
+        self._sweep_snapshots()
+        while len(self._snapshots) >= self.max_snapshots:
+            del self._snapshots[next(iter(self._snapshots))]
+        snap = {
             "enc": self.enc_state, "dec": self.dec_state,
             "gen": self.gen_state, "steps": self.steps_done,
             "gen_pair": (self.lm_gen, self._step),
             "max_steps": self.max_steps,
         }
-        self._resume_id = None
+        self._snapshots[rid] = (time.time() + self.resume_ttl, snap)
+
+        async def _offload():
+            host = await asyncio.to_thread(
+                jax.device_get, (snap["enc"], snap["dec"], snap["gen"]))
+            if rid in self._snapshots:  # not resumed/evicted meanwhile
+                exp, sn = self._snapshots[rid]
+                sn = dict(sn)
+                sn["enc"], sn["dec"], sn["gen"] = host
+                self._snapshots[rid] = (exp, sn)
+
+        asyncio.ensure_future(_offload())
 
     def _take_snapshot(self, token: str | None) -> bool:
         """Restore the snapshot if `token` matches and it hasn't expired.
-        One-shot: the restored buffers are donated on the next step, so the
-        snapshot is cleared either way."""
-        snap, self._snapshot = self._snapshot, None
-        if (not token or snap is None or snap["token"] != token
-                or time.time() > snap["expires"]):
+        One-shot: the restored buffers are donated on the next step (host
+        leaves transfer back on the first jitted call)."""
+        self._sweep_snapshots()
+        item = self._snapshots.pop(token, None) if token else None
+        if item is None:
             return False
-        self.enc_state, self.dec_state = snap["enc"], snap["dec"]
-        self.gen_state = snap["gen"]
+        _, snap = item
+        if self.mesh is not None:
+            put = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: jax.device_put(x, self._repl), t)
+        else:
+            # host-offloaded leaves transfer back asynchronously; device
+            # leaves (offload not finished) pass through untouched
+            put = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+        self.enc_state, self.dec_state = put(snap["enc"]), put(snap["dec"])
+        self.gen_state = put(snap["gen"])
         self.steps_done = snap["steps"]
         self.lm_gen, self._step = snap["gen_pair"]
         self.max_steps = snap["max_steps"]

@@ -789,3 +789,59 @@ def test_server_mesh_tp(tiny_checkpoint):
         assert (pcm_s is None) == (pcm_m is None)
         if pcm_s is not None:
             np.testing.assert_allclose(pcm_s, pcm_m, atol=2e-4)
+
+
+def test_session_resume_survives_intervening_session(tiny_checkpoint):
+    """Multiple host-offloaded snapshots: user A's resume must still work
+    after user B ran (and snapshotted) a whole session in between."""
+    pytest.importorskip("aiohttp")
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, None,
+                        **info.lm_gen_config)
+    state.warmup()
+    frame = np.zeros(1920, np.float32).tobytes()
+
+    async def session(client, query, n_frames):
+        ws = await client.ws_connect("/api/chat" + query)
+        assert (await asyncio.wait_for(ws.receive_bytes(), 10))[:1] == b"\x00"
+        meta = json.loads((await asyncio.wait_for(ws.receive_bytes(), 10))[1:])
+        await ws.send_bytes(bytes([4]) + json.dumps({"raw_pcm": True}).encode())
+        await asyncio.wait_for(ws.receive_bytes(), 10)
+        for _ in range(n_frames):
+            await ws.send_bytes(bytes([10]) + frame)
+            await asyncio.sleep(0.05)
+        await asyncio.sleep(0.3)
+        await ws.close()
+        await asyncio.sleep(0.1)
+        return meta
+
+    async def run():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            meta_a = await session(client, "?resume_support=1", 4)
+            rid_a = meta_a["resume_id"]
+            # user B runs a full session in between (also snapshots)
+            meta_b = await session(client, "?resume_support=1", 2)
+            assert meta_b["resumed"] is False
+            # A's snapshot must still be alive
+            meta_a2 = await session(client, f"?resume={rid_a}", 2)
+            assert meta_a2["resumed"] is True
+            # and B's too (dict holds several)
+            meta_b2 = await session(client, f"?resume={meta_b['resume_id']}", 0)
+            assert meta_b2["resumed"] is True
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
