@@ -297,20 +297,16 @@ def make_ssl_context(cert_dir: str | Path):
     return ctx
 
 
-def main():
+def build_app(cfg: dict, drain_timeout: float = 360.0):
+    """Assemble the worker aiohttp app from a parsed TOML config: module
+    routes, auth middleware, /metrics, /api/*, static dir, and graceful
+    drain (`app["start_drain"]()` or authed POST /api/drain: new sessions
+    get 503, the process exits once open sessions finish or the timeout
+    passes — zero-downtime deploys behind the fleet dispatcher)."""
     from aiohttp import web
 
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
-    parser.add_argument("--host", default="localhost")
-    parser.add_argument("--port", type=int, default=8998)
-    parser.add_argument("--ssl", metavar="CERT_DIR", default=None,
-                        help="serve https/wss; generates a self-signed cert "
-                             "in CERT_DIR if none present")
-    args = parser.parse_args()
-
-    cfg = tomllib.loads(Path(args.config).read_text())
     authorized = set(cfg.get("authorized_ids", []))
+    draining = {"on": False}
 
     @web.middleware
     async def auth_middleware(request, handler):
@@ -321,7 +317,51 @@ def main():
                 return web.Response(status=401, text="unauthorized")
         return await handler(request)
 
-    app = web.Application(middlewares=[auth_middleware] if authorized else [])
+    module_routes: list[str] = []
+
+    @web.middleware
+    async def drain_middleware(request, handler):
+        # during a drain module routes refuse new sessions; observability
+        # endpoints (/metrics, /api/build_info, ...) stay open
+        if draining["on"] and any(request.path.startswith(r)
+                                  for r in module_routes):
+            return web.Response(status=503, text="draining")
+        return await handler(request)
+
+    middlewares = ([auth_middleware] if authorized else []) + [drain_middleware]
+    app = web.Application(middlewares=middlewares)
+
+    from .metrics import OPEN_CHANNELS
+
+    def start_drain():
+        if draining["on"]:
+            return
+        draining["on"] = True
+        print(f"[info] draining: no new sessions; exiting when idle "
+              f"(open={OPEN_CHANNELS.value:g}, timeout={drain_timeout}s)",
+              flush=True)
+
+        async def watcher():
+            import signal
+            import time as _time
+            t0 = _time.time()
+            while (OPEN_CHANNELS.value > 0
+                   and _time.time() - t0 < drain_timeout):
+                await asyncio.sleep(1.0)
+            print("[info] drained; shutting down", flush=True)
+            signal.raise_signal(signal.SIGINT)  # run_app cleans up
+
+        asyncio.ensure_future(watcher())
+
+    app["start_drain"] = start_drain
+    app["draining"] = draining
+
+    async def drain_handler(_):
+        start_drain()
+        return web.json_response({"draining": True,
+                                  "open": OPEN_CHANNELS.value})
+
+    app.router.add_post("/api/drain", drain_handler)
     modules_info = {}
     startups = []
     for i, (name, mcfg) in enumerate(cfg.get("modules", {}).items()):
@@ -333,6 +373,7 @@ def main():
         for extra_route, extra_handler in minfo.pop("_extra_routes", []):
             app.router.add_get(extra_route, extra_handler)
         modules_info[name] = {**minfo, "route": route}
+        module_routes.append(route)
         if startup is not None:
             startups.append(startup)
         print(f"[info] mounted {name} ({minfo['type']}) at {route}")
@@ -372,6 +413,38 @@ def main():
         app["tasks"] = [await s() for s in startups]
 
     app.on_startup.append(on_startup)
+    return app
+
+
+def main():
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8998)
+    parser.add_argument("--ssl", metavar="CERT_DIR", default=None,
+                        help="serve https/wss; generates a self-signed cert "
+                             "in CERT_DIR if none present")
+    parser.add_argument("--drain-timeout", type=float, default=360.0,
+                        help="max seconds to wait for open sessions after a "
+                             "drain (SIGTERM or POST /api/drain)")
+    args = parser.parse_args()
+
+    cfg = tomllib.loads(Path(args.config).read_text())
+    app = build_app(cfg, drain_timeout=args.drain_timeout)
+
+    async def install_sigterm(app_):
+        import signal
+        loop = asyncio.get_running_loop()
+        try:
+            # SIGTERM (docker stop / rolling deploy) drains instead of
+            # killing mid-session; aiohttp's default handler is replaced
+            loop.add_signal_handler(signal.SIGTERM, app_["start_drain"])
+        except (NotImplementedError, RuntimeError):
+            pass
+
+    app.on_startup.append(install_sigterm)
     ssl_context = make_ssl_context(args.ssl) if args.ssl else None
     web.run_app(app, host=args.host, port=args.port, ssl_context=ssl_context)
 

@@ -299,3 +299,67 @@ def test_stream_tokenizer_threads():
     np.testing.assert_array_equal(pcm, ref_pcm)
     assert stream.get_decoded() is None  # non-blocking empty poll
     stream.close()
+
+
+def test_worker_graceful_drain(tmp_path):
+    """build_app's drain: authed POST /api/drain flips the worker into
+    draining — module routes answer 503 while /metrics and /api/* stay up —
+    and the idle watcher fires the shutdown signal."""
+    pytest.importorskip("aiohttp")
+    import asyncio
+    import signal as _signal
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.serve.worker import build_app
+
+    script = tmp_path / "plugin.py"
+    script.write_text(
+        "from aiohttp import web\n"
+        "class App:\n"
+        "    def __init__(self, b, c): pass\n"
+        "    async def handle(self, request):\n"
+        "        return web.Response(text='hi')\n"
+        "def init(b, c):\n"
+        "    return App(b, c)\n")
+    cfg = {"authorized_ids": ["tok"],
+           "modules": {"p": {"type": "py", "route": "/api/custom",
+                             "script": str(script)}}}
+    app = build_app(cfg, drain_timeout=30.0)
+
+    fired = []
+    orig = _signal.raise_signal
+
+    async def run():
+        _signal.raise_signal = lambda sig: fired.append(sig)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            hdr = {"kyutai-api-key": "tok"}
+            r = await client.get("/api/custom", headers=hdr)
+            assert r.status == 200
+
+            # drain requires auth
+            r = await client.post("/api/drain")
+            assert r.status == 401
+            r = await client.post("/api/drain", headers=hdr)
+            assert (await r.json())["draining"] is True
+
+            # module routes refuse new sessions; observability stays up
+            r = await client.get("/api/custom", headers=hdr)
+            assert r.status == 503
+            r = await client.get("/metrics")
+            assert r.status == 200
+            r = await client.get("/api/modules_info", headers=hdr)
+            assert r.status == 200
+
+            # idle (open_channels == 0): the watcher fires the shutdown
+            for _ in range(100):
+                if fired:
+                    break
+                await asyncio.sleep(0.05)
+            assert fired == [_signal.SIGINT]
+        finally:
+            _signal.raise_signal = orig
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
