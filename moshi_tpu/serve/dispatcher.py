@@ -161,7 +161,9 @@ async def poll_workers(workers: list[Worker], interval: float = 2.0):
             m = re.search(r"^open_channels (\d+(?:\.\d+)?)$", text,
                           re.MULTILINE)
             w.open = int(float(m.group(1))) if m else None
-            w.reachable = True
+            d = re.search(r"^draining (\d+(?:\.\d+)?)$", text, re.MULTILINE)
+            # a draining worker 503s new sessions — stop assigning to it
+            w.reachable = not (d and float(d.group(1)) > 0)
         except Exception:
             # connection failure: the ws address is dead too — skip this
             # worker until a poll succeeds.  (A reachable host without

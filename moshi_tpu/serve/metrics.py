@@ -111,6 +111,10 @@ class Registry:
         return m
 
     def gauge(self, name, help_=""):
+        # idempotent by name: build_app may run more than once per process
+        for m in self.metrics:
+            if isinstance(m, Gauge) and m.name == name:
+                return m
         m = Gauge(name, help_)
         self.metrics.append(m)
         return m

@@ -331,12 +331,15 @@ def build_app(cfg: dict, drain_timeout: float = 360.0):
     middlewares = ([auth_middleware] if authorized else []) + [drain_middleware]
     app = web.Application(middlewares=middlewares)
 
-    from .metrics import OPEN_CHANNELS
+    from .metrics import OPEN_CHANNELS, REGISTRY
+    drain_gauge = REGISTRY.gauge(
+        "draining", "1 while the worker refuses new sessions")
 
     def start_drain():
         if draining["on"]:
             return
         draining["on"] = True
+        drain_gauge.inc()  # fleet dispatchers stop assigning here
         print(f"[info] draining: no new sessions; exiting when idle "
               f"(open={OPEN_CHANNELS.value:g}, timeout={drain_timeout}s)",
               flush=True)

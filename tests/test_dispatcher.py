@@ -122,3 +122,31 @@ def test_dispatcher_http_with_live_metrics():
             await wb.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_dispatcher_skips_draining_worker():
+    """A worker exposing `draining 1` in /metrics must not receive new
+    assignments (it 503s new sessions during a graceful drain)."""
+    pytest.importorskip("aiohttp")
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer
+    from moshi_tpu.serve.dispatcher import poll_workers
+
+    async def run():
+        async def metrics(_):
+            return web.Response(text="open_channels 1\ndraining 1\n")
+        app = web.Application()
+        app.router.add_get("/metrics", metrics)
+        srv = TestServer(app)
+        await srv.start_server()
+        w = Worker(f"ws://127.0.0.1:{srv.port}/api/chat", capacity=8)
+        task = asyncio.create_task(poll_workers([w], interval=0.05))
+        try:
+            await asyncio.sleep(0.2)
+            assert w.open == 1 and w.reachable is False
+            assert not w.has_room()
+        finally:
+            task.cancel()
+            await srv.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
