@@ -132,3 +132,15 @@ def shard_params(params, mesh: Mesh):
 
 def batch_spec(mesh: Mesh) -> P:
     return P("dp")
+
+
+def host_staged_loading():
+    """Context manager for checkpoint loads that will be sharded onto a
+    mesh: stages arrays in host memory so the full weights never pile onto
+    one chip before the sharded device_put (a bf16 7B ~15 GB OOMs a single
+    16 GB chip otherwise).  No-op when no CPU backend exists."""
+    import contextlib
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()

@@ -163,9 +163,8 @@ class BatchedMoshiState:
         # the user reconnects to.  The shared batch rng is NOT part of a
         # slot's state, so a resumed batched session continues the
         # conversation (KV/delay caches) but not the exact sampling stream.
-        self.resume_ttl = 60.0
-        self.max_snapshots = 4
-        self._snapshots: dict[str, tuple[float, tuple]] = {}
+        from .snapshots import SnapshotStore
+        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
         self.slot_resume_id: dict[int, str] = {}
         self.slot_resumed: dict[int, bool] = {}
         mult = self.lm_gen.model_batch_mult
@@ -258,32 +257,15 @@ class BatchedMoshiState:
 
     def snapshot_slot(self, slot: int):
         """Extract the slot's state and store it under its resume_id (no-op
-        unless issue_resume_id was called for this session).  The snapshot
-        is moved to host RAM in the background so it doesn't pin 1/B of a
-        batch state in HBM for its whole TTL; _restore's jit transfers it
-        back on resume."""
+        unless issue_resume_id was called for this session).  The store
+        moves the snapshot to host RAM in the background so it doesn't pin
+        1/B of a batch state in HBM; _restore's jit transfers it back."""
         rid = self.slot_resume_id.pop(slot, None)
-        if rid is None or self.resume_ttl <= 0:
+        if rid is None:
             return
-        self._sweep_snapshots()
-        while len(self._snapshots) >= self.max_snapshots:
-            del self._snapshots[next(iter(self._snapshots))]
         snap = self._extract(self.gen_state, self.enc_state, self.dec_state,
                              np.int32(slot))
-        self._snapshots[rid] = (time.time() + self.resume_ttl, snap)
-
-        async def _offload():
-            host = await asyncio.to_thread(jax.device_get, snap)
-            if rid in self._snapshots:  # not resumed/evicted meanwhile
-                exp, _ = self._snapshots[rid]
-                self._snapshots[rid] = (exp, host)
-
-        asyncio.ensure_future(_offload())
-
-    def _sweep_snapshots(self):
-        now = time.time()
-        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
-            del self._snapshots[k]
+        self._snapshots.put(rid, snap)
 
     def restore_slot(self, slot: int, snap):
         self.gen_state, self.enc_state, self.dec_state = self._restore(
@@ -299,9 +281,9 @@ class BatchedMoshiState:
             slot = self.slots_free.pop()
             self.slot_queues[slot] = asyncio.Queue()
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
-            snap = self._snapshots.pop(resume, None) if resume else None
-            if snap is not None and time.time() <= snap[0]:
-                self.restore_slot(slot, snap[1])
+            snap = await self._snapshots.take(resume)
+            if snap is not None:
+                self.restore_slot(slot, snap[0])
                 self.slot_resumed[slot] = True
             else:
                 self.reset_slot(slot)
@@ -333,8 +315,8 @@ class BatchedMoshiState:
         B, fs = self.batch_size, self.frame_size
         next_sweep = 0.0
         while True:
-            if self._snapshots and time.time() > next_sweep:
-                self._sweep_snapshots()  # expired snapshots free their RAM
+            if len(self._snapshots) and time.time() > next_sweep:
+                self._snapshots.sweep()  # expired snapshots free their RAM
                 next_sweep = time.time() + 5.0
             ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
             if not ready:
@@ -391,13 +373,25 @@ async def handle_chat(request, state: BatchedMoshiState):
     if slot is None:
         await ws.close(code=1013, message=b"server full")
         return ws
-    reader = moshi_native.OpusStreamReader(state.mimi.sample_rate)
-    writer = moshi_native.OpusStreamWriter(state.mimi.sample_rate)
-    await ws.send_bytes(proto.handshake())
-    if want_resume:
-        await ws.send_bytes(proto.msg(proto.MT_METADATA, json.dumps(
-            {"resume_id": state.issue_resume_id(slot),
-             "resumed": state.slot_resumed.get(slot, False)}).encode()))
+    try:
+        # everything after acquire runs under the try: a client dropping
+        # mid-handshake must still release the slot (a leaked slot
+        # permanently shrinks capacity and skews the dispatcher's load)
+        reader = moshi_native.OpusStreamReader(state.mimi.sample_rate)
+        writer = moshi_native.OpusStreamWriter(state.mimi.sample_rate)
+        await ws.send_bytes(proto.handshake())
+        if want_resume:
+            await ws.send_bytes(proto.msg(proto.MT_METADATA, json.dumps(
+                {"resume_id": state.issue_resume_id(slot),
+                 "resumed": state.slot_resumed.get(slot, False)}).encode()))
+        await _chat_loop(ws, state, slot, reader, writer)
+    finally:
+        await state.release_slot(slot)
+    return ws
+
+
+async def _chat_loop(ws, state, slot, reader, writer):
+    from aiohttp import WSMsgType
 
     async def sender():
         q = state.slot_queues[slot]
@@ -446,8 +440,6 @@ async def handle_chat(request, state: BatchedMoshiState):
             # other/unknown message types are discarded (protocol.md:32)
     finally:
         send_task.cancel()
-        await state.release_slot(slot)
-    return ws
 
 
 def main():
@@ -476,15 +468,9 @@ def main():
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
-    # with --tp, stage the load in host memory so the weights never pile
-    # onto one chip before the sharded device_put (see serve/server.py)
     import contextlib
-    stage = contextlib.nullcontext()
-    if args.tp:
-        try:
-            stage = jax.default_device(jax.local_devices(backend="cpu")[0])
-        except RuntimeError:
-            pass
+    from ..parallel.mesh import host_staged_loading
+    stage = host_staged_loading() if args.tp else contextlib.nullcontext()
     with stage:
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()

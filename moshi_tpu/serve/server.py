@@ -108,15 +108,21 @@ class ServerState:
         # session-resume snapshots (state-is-data makes this free: the last
         # step's output pytrees ARE the session; reference analog is
         # get/set_streaming_state, streaming.py:158-181, which nothing in
-        # the reference serving stack ever calls).  Snapshots move to host
-        # RAM in the background so queued sessions can each keep one
-        # without pinning HBM; restore is one-shot because stepping donates
-        # the restored buffers.
-        self.resume_ttl = 60.0
-        self.max_snapshots = 4
-        self._snapshots: dict[str, tuple[float, dict]] = {}
+        # the reference serving stack ever calls).  SnapshotStore offloads
+        # to host RAM in the background; restore is one-shot because
+        # stepping donates the restored buffers.
+        from .snapshots import SnapshotStore
+        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
         self._resume_id: str | None = None
         self.reset()
+
+    @property
+    def resume_ttl(self) -> float:
+        return self._snapshots.ttl
+
+    @resume_ttl.setter
+    def resume_ttl(self, v: float):
+        self._snapshots.ttl = v
 
     def _jit_step(self, lm_gen):
         fn = (lm_gen.step_with_text_prob if self.colored_text
@@ -134,6 +140,12 @@ class ServerState:
         "repetition_penalty": ("text_rep_penalty", float),
         "repetition_penalty_context": ("text_rep_context", int),
     }
+    # any of these marks a moshi_tpu-aware client: it gets the MT 4 config
+    # echo and live queue-position updates (bare clients see the exact
+    # reference wire sequence — handshake first)
+    _KNOWN_PARAMS = (set(_SESSION_PARAMS) |
+                     {"text_seed", "audio_seed", "max_steps",
+                      "resume", "resume_support"})
 
     def apply_session_config(self, query) -> dict:
         """Select (or build) the LMGen for this session's sampling overrides.
@@ -264,63 +276,38 @@ class ServerState:
         self.enc_state = self.mimi.init_encode_state(1)
 
     # ------------------------------------------------------------- resume
-    def _sweep_snapshots(self):
-        now = time.time()
-        for k in [k for k, (exp, _) in self._snapshots.items() if now > exp]:
-            del self._snapshots[k]
-
     def _store_snapshot(self):
         """Snapshot the full streaming state at disconnect, keyed by the
         resume_id announced to the client at session start.  Multiple
         snapshots are kept (so queued users' resumes survive intervening
-        sessions), offloaded to host RAM in the background."""
+        sessions), offloaded to host RAM by the store."""
         rid = self._resume_id
         self._resume_id = None
-        if rid is None or self.resume_ttl <= 0:
+        if rid is None:
             return
-        self._sweep_snapshots()
-        while len(self._snapshots) >= self.max_snapshots:
-            del self._snapshots[next(iter(self._snapshots))]
-        snap = {
-            "enc": self.enc_state, "dec": self.dec_state,
-            "gen": self.gen_state, "steps": self.steps_done,
-            "gen_pair": (self.lm_gen, self._step),
-            "max_steps": self.max_steps,
-        }
-        self._snapshots[rid] = (time.time() + self.resume_ttl, snap)
+        self._snapshots.put(
+            rid, (self.enc_state, self.dec_state, self.gen_state),
+            {"steps": self.steps_done, "gen_pair": (self.lm_gen, self._step),
+             "max_steps": self.max_steps})
 
-        async def _offload():
-            host = await asyncio.to_thread(
-                jax.device_get, (snap["enc"], snap["dec"], snap["gen"]))
-            if rid in self._snapshots:  # not resumed/evicted meanwhile
-                exp, sn = self._snapshots[rid]
-                sn = dict(sn)
-                sn["enc"], sn["dec"], sn["gen"] = host
-                self._snapshots[rid] = (exp, sn)
-
-        asyncio.ensure_future(_offload())
-
-    def _take_snapshot(self, token: str | None) -> bool:
+    async def _take_snapshot(self, token: str | None) -> bool:
         """Restore the snapshot if `token` matches and it hasn't expired.
         One-shot: the restored buffers are donated on the next step (host
         leaves transfer back on the first jitted call)."""
-        self._sweep_snapshots()
-        item = self._snapshots.pop(token, None) if token else None
+        item = await self._snapshots.take(token)
         if item is None:
             return False
-        _, snap = item
+        (enc, dec, gen), meta = item
         if self.mesh is not None:
             put = lambda t: jax.tree.map(  # noqa: E731
                 lambda x: jax.device_put(x, self._repl), t)
         else:
-            # host-offloaded leaves transfer back asynchronously; device
-            # leaves (offload not finished) pass through untouched
             put = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
-        self.enc_state, self.dec_state = put(snap["enc"]), put(snap["dec"])
-        self.gen_state = put(snap["gen"])
-        self.steps_done = snap["steps"]
-        self.lm_gen, self._step = snap["gen_pair"]
-        self.max_steps = snap["max_steps"]
+        self.enc_state, self.dec_state = put(enc), put(dec)
+        self.gen_state = put(gen)
+        self.steps_done = meta["steps"]
+        self.lm_gen, self._step = meta["gen_pair"]
+        self.max_steps = meta["max_steps"]
         return True
 
     def _text_msg(self, text: str, prob: float | None) -> bytes:
@@ -344,8 +331,13 @@ class ServerState:
         sid = self._session_counter
         self._session_counter += 1
         self._session_order.append(sid)
+        # queue-position updates are opt-in (any moshi_tpu session param):
+        # bare reference clients expect the handshake as the FIRST message
+        # (protocol.md) and must simply block while queued, as they do
+        # against the reference server's lock
+        notify = bool(self._KNOWN_PARAMS & set(request.rel_url.query))
         try:
-            if not await self._acquire_session(ws, sid):
+            if not await self._acquire_session(ws, sid, notify):
                 return ws  # client went away while queued
         except Exception:
             self._session_order.remove(sid)
@@ -359,15 +351,17 @@ class ServerState:
             self.lock.release()
         return ws
 
-    async def _acquire_session(self, ws, sid) -> bool:
+    async def _acquire_session(self, ws, sid, notify: bool) -> bool:
         """FIFO-acquire the single-session lock, reporting queue position to
-        the waiting client via MT 4 once a second.  Returns False (without
-        holding the lock) if the client disconnects while queued."""
+        the waiting client via MT 4 once a second when `notify` (opted-in
+        clients only — the reference wire sequence starts with the
+        handshake).  Returns False (without holding the lock) if the client
+        disconnects while queued."""
         acquire = asyncio.ensure_future(self.lock.acquire())
         try:
             while not acquire.done():
                 pos = self._session_order.index(sid)
-                if pos > 0:
+                if pos > 0 and notify:
                     try:
                         await ws.send_bytes(proto.msg(
                             proto.MT_METADATA,
@@ -412,7 +406,7 @@ class ServerState:
         opus_reader = _LazyOpus(moshi_native.OpusStreamReader,
                                 self.mimi.sample_rate)
         query = dict(request.rel_url.query)
-        resumed = self._take_snapshot(query.get("resume"))
+        resumed = await self._take_snapshot(query.get("resume"))
         if resumed:
             # conversation continues from the disconnected session's state;
             # explicit sampling overrides win over the snapshot's config
@@ -450,10 +444,7 @@ class ServerState:
         # stream_both.rs:158-176) — only when the client passed session
         # params (or opted into resume), so bare clients see the reference
         # wire sequence
-        known = (set(self._SESSION_PARAMS) |
-                 {"text_seed", "audio_seed", "max_steps",
-                  "resume", "resume_support"})
-        if known & set(query):
+        if self._KNOWN_PARAMS & set(query):
             await ws.send_bytes(proto.msg(
                 proto.MT_METADATA, json.dumps(session_cfg).encode()))
         try:
@@ -691,6 +682,10 @@ def main():
     parser.add_argument("--tp", type=int, default=0,
                         help="tensor-parallel ways: serve over a (dp=1, tp) "
                              "mesh of all visible chips; 0 = single device")
+    parser.add_argument("--advertised-addr", default=None,
+                        help="ws address the queue API hands to clients "
+                             "(default: derived from --host/--port, which "
+                             "is wrong behind NAT / 0.0.0.0 binds)")
     parser.add_argument("--resume-ttl", type=float, default=60.0,
                         help="seconds a disconnected session stays resumable "
                              "via ?resume=<resume_id> (0 disables)")
@@ -705,16 +700,9 @@ def main():
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
-    # With --tp the weights must NOT land on one chip before sharding: a
-    # bf16 7B (~15 GB) OOMs a single 16 GB chip.  Stage the load in host
-    # memory; the mesh device_put then moves each shard directly.
     import contextlib
-    stage = contextlib.nullcontext()
-    if args.tp:
-        try:
-            stage = jax.default_device(jax.local_devices(backend="cpu")[0])
-        except RuntimeError:
-            pass
+    from ..parallel.mesh import host_staged_loading
+    stage = host_staged_loading() if args.tp else contextlib.nullcontext()
     with stage:
         log("info", "loading mimi")
         mimi, mimi_params = info.get_mimi()
@@ -749,7 +737,9 @@ def main():
 
     app = web.Application()
     app.router.add_get("/api/chat", state.handle_chat)
-    QueueAPI(state, f"ws://{args.host}:{args.port}/api/chat").add_routes(app)
+    addr = (args.advertised_addr
+            or f"ws://{args.host}:{args.port}/api/chat")
+    QueueAPI(state, addr).add_routes(app)
     if args.static:
         import os
 

@@ -148,15 +148,11 @@ def build_module(name: str, mcfg: dict, seed: int):
         return lm
 
     def _stage_load(mc):
-        # with tp, stage weights in host memory so they never pile onto one
-        # chip before the sharded device_put (see serve/server.py)
         import contextlib
         if not mc.get("tp"):
             return contextlib.nullcontext()
-        try:
-            return jax.default_device(jax.local_devices(backend="cpu")[0])
-        except RuntimeError:
-            return contextlib.nullcontext()
+        from ..parallel.mesh import host_staged_loading
+        return host_staged_loading()
 
     def _maybe_mesh(mc, all_devices=True):
         # TOML `tp = N`: serve this module over a (dp, tp) mesh (LM weights

@@ -613,11 +613,18 @@ def test_session_queue_and_queue_api(tiny_checkpoint):
             assert (await asyncio.wait_for(
                 ws1.receive_bytes(), timeout=10))[:1] == b"\x00"
 
-            ws2 = await client.ws_connect("/api/chat")
+            # opted-in client gets live queue-position updates
+            ws2 = await client.ws_connect("/api/chat?resume_support=1")
             first = await asyncio.wait_for(ws2.receive_bytes(), timeout=10)
             assert first[0] == 4, "queued client should get metadata, not \\x00"
             meta = json.loads(first[1:])
             assert meta["status"] == "wait" and meta["queue_position"] == 1
+
+            # a BARE queued client must see the reference wire sequence:
+            # silence while queued, handshake as the FIRST message
+            ws3 = await client.ws_connect("/api/chat")
+            with pytest.raises(asyncio.TimeoutError):
+                await asyncio.wait_for(ws3.receive_bytes(), timeout=1.5)
 
             await ws1.close()
             # ws2 is promoted: eventually receives the handshake
@@ -627,6 +634,10 @@ def test_session_queue_and_queue_api(tiny_checkpoint):
                     break
                 assert msg[0] == 4  # more wait updates are fine
             await ws2.close()
+            # ws3 promoted next: handshake is its first message
+            first3 = await asyncio.wait_for(ws3.receive_bytes(), timeout=10)
+            assert first3[:1] == b"\x00"
+            await ws3.close()
             await asyncio.sleep(0.1)  # let the server release the session
 
             # --- HTTP queue API

@@ -325,6 +325,10 @@ def test_worker_graceful_drain(tmp_path):
            "modules": {"p": {"type": "py", "route": "/api/custom",
                              "script": str(script)}}}
     app = build_app(cfg, drain_timeout=30.0)
+    # the open_channels gauge is process-global; earlier tests may leave
+    # unreleased slots behind — the drain watcher must see an idle worker
+    from moshi_tpu.serve.metrics import OPEN_CHANNELS
+    OPEN_CHANNELS.set(0)
 
     fired = []
     orig = _signal.raise_signal
