@@ -29,7 +29,7 @@ import numpy as np
 from ..models.lm_gen import LMGen, LMGenConfig
 from ..models.lm import UNGENERATED_TOKEN, ZERO_TOKEN
 from ..models.tts import Entry
-from ..utils.trees import masked_reset
+from ..utils.trees import masked_reset, take_slots, put_slots
 from .metrics import MODEL_STEP_DURATION, OPEN_CHANNELS, TOTAL_STEPS, CONNECT_COUNT
 
 
@@ -135,14 +135,88 @@ class BatchedTTSState:
         # full KV cache next to the live one (OOM at max batch otherwise)
         self._reset = jax.jit(_reset, donate_argnums=(0, 1))
 
+        # per-slot session resume (the TTS analog of batched_moshi's):
+        # device rows gathered out / scattered back + the host DSM machine
+        # state carried in the snapshot's metadata.  All mutations ride the
+        # pending-ops queue like resets (ADVICE r2: never touch donated
+        # state from outside the step loop).
+        from .snapshots import SnapshotStore
+        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
+        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resumed: dict[int, bool] = {}
+        mult = self.gen.model_batch_mult
+        _GEN_KEYS = ("cache", "offsets", "transformer", "text_history",
+                     "hist_pos")
+
+        def _extract(gstate, dec_state, slot):
+            idx = jnp.asarray([slot])
+            idx_m = jnp.concatenate([idx + i * batch_size
+                                     for i in range(mult)])
+            snap = {}
+            for key in _GEN_KEYS:
+                if key not in gstate:
+                    continue
+                if key == "transformer":
+                    # voice cross-attn rows (k_cross/v_cross) are NOT part
+                    # of a slot's snapshot — they are rebuilt from the
+                    # snapshotted slot_attrs by _recompute_conditioning
+                    sub = {k2: gstate[key][k2]
+                           for k2 in self._ax_gen[key]}
+                    snap[key] = take_slots(sub, idx_m, batch_size * mult,
+                                           self._ax_gen[key])
+                else:
+                    snap[key] = take_slots(gstate[key], idx, batch_size,
+                                           self._ax_gen[key])
+            return snap, take_slots(dec_state, idx, batch_size,
+                                    self._ax_dec)
+
+        def _restore(gstate, dec_state, snap, slot):
+            snap_gen, sdec = snap
+            idx = jnp.asarray([slot])
+            idx_m = jnp.concatenate([idx + i * batch_size
+                                     for i in range(mult)])
+            new_gen = dict(gstate)
+            for key, v in snap_gen.items():
+                if key == "transformer":
+                    cur = dict(gstate[key])
+                    sub = {k2: cur[k2] for k2 in v}
+                    cur.update(put_slots(sub, v, idx_m, batch_size * mult,
+                                         self._ax_gen[key]))
+                    new_gen[key] = cur
+                else:
+                    new_gen[key] = put_slots(gstate[key], v, idx,
+                                             batch_size, self._ax_gen[key])
+            return new_gen, put_slots(dec_state, sdec, idx, batch_size,
+                                      self._ax_dec)
+
+        self._extract = jax.jit(_extract)
+        self._restore = jax.jit(_restore, donate_argnums=(0, 1))
+
     # ----------------------------------------------------------- slot mgmt
-    async def acquire_slot(self) -> int | None:
+    def issue_resume_id(self, b: int) -> str:
+        import secrets
+        rid = secrets.token_hex(8)
+        self.slot_resume_id[b] = rid
+        return rid
+
+    async def acquire_slot(self, resume: str | None = None) -> int | None:
         async with self.lock:
             for b in range(self.batch_size):
                 if self.slots[b] is None:
+                    snap = await self._snapshots.take(resume)
                     self.unready.add(b)
-                    self.pending_ops.append(("reset", b))
-                    self.slots[b] = _TtsSlot(self.machine)
+                    if snap is not None:
+                        arrays, meta = snap
+                        slot = meta["slot"]
+                        slot.queue = asyncio.Queue()  # old conn's queue
+                        self.slots[b] = slot
+                        self.slot_attrs[b] = meta["attrs"]
+                        self.pending_ops.append(("restore", b, arrays))
+                        self.slot_resumed[b] = True
+                    else:
+                        self.pending_ops.append(("reset", b))
+                        self.slots[b] = _TtsSlot(self.machine)
+                        self.slot_resumed[b] = False
                     OPEN_CHANNELS.inc()
                     CONNECT_COUNT.inc()
                     return b
@@ -151,7 +225,15 @@ class BatchedTTSState:
     async def release_slot(self, b: int):
         async with self.lock:
             if self.slots[b] is not None:
+                rid = self.slot_resume_id.pop(b, None)
+                if rid is not None:
+                    # snapshot rides the ops queue (applied between frames,
+                    # before any later reset of this slot — FIFO)
+                    self.pending_ops.append(
+                        ("snapshot", b, rid, self.slots[b],
+                         self.slot_attrs[b]))
                 self.slots[b] = None
+                self.slot_resumed.pop(b, None)
                 OPEN_CHANNELS.dec()
 
     def apply_pending_ops(self):
@@ -168,6 +250,18 @@ class BatchedTTSState:
                 self.slot_attrs[b] = self.tts.make_condition_attributes(
                     [emb], None)
                 self._recompute_conditioning()
+            elif op[0] == "snapshot":
+                _, b, rid, slot, attrs = op
+                arrays = self._extract(self.gstate, self.dec_state,
+                                       np.int32(b))
+                self._snapshots.put(rid, arrays,
+                                    {"slot": slot, "attrs": attrs})
+            elif op[0] == "restore":
+                _, b, arrays = op
+                self.gstate, self.dec_state = self._restore(
+                    self.gstate, self.dec_state, arrays, np.int32(b))
+                self._recompute_conditioning()  # rebuild voice rows
+                self.unready.discard(b)
 
     def reset_slot(self, b: int):
         mask = np.zeros((self.batch_size,), bool)
@@ -344,13 +438,23 @@ async def handle_batched_tts_socket(request, state: BatchedTTSState):
 
     ws = web.WebSocketResponse()
     await ws.prepare(request)
-    slot = await state.acquire_slot()
+    query = dict(request.rel_url.query)
+    want_resume = "resume_support" in query or "resume" in query
+    slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.send_str(json.dumps({"type": "Error", "message": "full"}))
         await ws.close()
         return ws
-    writer = make_audio_encoder(state.tts.mimi.sample_rate)
-    await ws.send_str(json.dumps({"type": "Ready"}))
+    try:
+        writer = make_audio_encoder(state.tts.mimi.sample_rate)
+        ready = {"type": "Ready"}
+        if want_resume:
+            ready["resume_id"] = state.issue_resume_id(slot)
+            ready["resumed"] = state.slot_resumed.get(slot, False)
+        await ws.send_str(json.dumps(ready))
+    except Exception:
+        await state.release_slot(slot)
+        raise
 
     async def receiver():
         async for message in ws:

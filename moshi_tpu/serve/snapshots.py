@@ -46,7 +46,10 @@ class SnapshotStore:
             # unreferenced) — take() awaits this task and reads item[1]
             item[1] = await asyncio.to_thread(jax.device_get, arrays)
 
-        item[3] = asyncio.ensure_future(_offload())
+        try:
+            item[3] = asyncio.ensure_future(_offload())
+        except RuntimeError:
+            pass  # no running loop (tests driving sync): stays on device
 
     async def take(self, rid: str | None):
         """One-shot: returns (arrays, meta) or None.  Waits for the offload

@@ -649,3 +649,83 @@ def test_batched_moshi_mesh_serving():
     sharded.restore_slot(2, rid_state)
     off2 = np.asarray(sharded.gen_state["offsets"])
     assert off2[2] == off[1]
+
+
+def test_batched_tts_slot_resume():
+    """TTS per-slot resume: a synthesis split across a disconnect (resumed
+    into a DIFFERENT slot, with another tenant dirtying the freed one)
+    produces exactly the unbroken single-streamer's audio and words."""
+    from moshi_tpu.serve.tts_ws import TTSStreamer
+    from moshi_tpu.serve.batched_tts import BatchedTTSState
+
+    tts, lm_params, mimi_params = _tiny_tts_greedy()
+    words = ["hello world again"]
+
+    # unbroken reference
+    s = TTSStreamer(tts, lm_params, mimi_params, jax.random.PRNGKey(2))
+    s.feed_words(words)
+    s.feed_eos()
+    ref_pcm, ref_texts = [], []
+    for _ in range(200):
+        if s.finished:
+            break
+        pcm, ev = s.step()
+        ref_texts += [e["text"] for e in ev]
+        if pcm is not None:
+            ref_pcm.append(pcm)
+    assert s.finished and ref_pcm
+
+    st = BatchedTTSState(tts, lm_params, mimi_params, batch_size=2,
+                         rng=jax.random.PRNGKey(2))
+
+    def drain(slot_obj, pcms, texts):
+        while not slot_obj.queue.empty():
+            kind, payload = slot_obj.queue.get_nowait()
+            if kind == "pcm":
+                pcms.append(payload)
+            elif kind == "event":
+                texts.append(payload["text"])
+
+    async def drive():
+        got_pcm, got_texts = [], []
+        b = await st.acquire_slot()
+        st.feed_words(b, words)
+        st.feed_eos(b)
+        rid = st.issue_resume_id(b)
+        for _ in range(8):  # partial synthesis
+            active = st.steppable()
+            assert active
+            st.step_batch(active)
+        drain(st.slots[b], got_pcm, got_texts)
+        await st.release_slot(b)  # queues the snapshot
+
+        # another tenant takes (and dirties) the freed slot
+        other = await st.acquire_slot()
+        assert other == b
+        st.feed_words(other, ["noise"])
+        for _ in range(3):
+            active = st.steppable()
+            if active:
+                st.step_batch(active)
+
+        # resume into the remaining slot
+        back = await st.acquire_slot(resume=rid)
+        assert back is not None and back != other
+        assert st.slot_resumed[back] is True
+        for _ in range(200):
+            active = st.steppable()
+            if back not in active and st.slots[back].done:
+                break
+            if not active:
+                break
+            st.step_batch(active)
+        assert st.slots[back].done
+        drain(st.slots[back], got_pcm, got_texts)
+        return got_pcm, got_texts
+
+    got_pcm, got_texts = asyncio.get_event_loop_policy() \
+        .new_event_loop().run_until_complete(drive())
+    assert got_texts == ref_texts
+    assert len(got_pcm) == len(ref_pcm)
+    for a, b_ in zip(got_pcm, ref_pcm):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
