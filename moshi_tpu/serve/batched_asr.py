@@ -56,18 +56,52 @@ class BatchedAsrState:
         self.slot_pcm: dict[int, np.ndarray] = {}
         # slot -> [(due_step, marker_id)], FIFO per slot (batched_asr.rs:23-41)
         self.slot_markers: dict[int, list] = {}
-        # Slots waiting for their reset.  `self.state` is donated to the jits
-        # inside `step_pcm`, which runs on a worker thread — resetting from
-        # the event-loop thread mid-step would either hit a deleted donated
-        # buffer or be clobbered by the step's rebind.  All state mutation
-        # therefore happens in `_run_loop`, which drains this list between
-        # frames; a slot is never stepped before its reset applies because
-        # resets drain before the frame's exec mask is built.
-        self.pending_resets: list[int] = []
+        # Queued slot ops (reset / snapshot / restore).  `self.state` is
+        # donated to the jits inside `step_pcm`, which runs on a worker
+        # thread — and `asr.items` is read by that thread too — so all
+        # mutation happens in `_run_loop`, which drains this list between
+        # frames; a slot is never stepped before its reset/restore applies
+        # because ops drain before the frame's exec mask is built.
+        self.pending_ops: list[tuple] = []
         self.frame_size = asr.mimi.frame_size
         self.lock = asyncio.Lock()
 
-    async def acquire_slot(self) -> int | None:
+        # per-slot session resume: device rows (mimi + transformer) via the
+        # structural-axes gather/scatter, host _ItemState (word accumulation,
+        # per-item step clock) deep-copied into the snapshot's metadata
+        from .snapshots import SnapshotStore
+        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
+        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resumed: dict[int, bool] = {}
+        B = self.batch_size
+        import jax
+        import jax.numpy as jnp
+        from ..utils.trees import take_slots, put_slots
+
+        def _extract(st, slot):
+            idx = jnp.asarray([slot])
+            return (take_slots(st["mimi"], idx, B, asr._ax_mimi),
+                    take_slots(st["transformer"], idx, B, asr._ax_tr))
+
+        def _restore(st, snap, slot):
+            m, tr = snap
+            idx = jnp.asarray([slot])
+            new = dict(st)
+            new["mimi"] = put_slots(st["mimi"], m, idx, B, asr._ax_mimi)
+            new["transformer"] = put_slots(st["transformer"], tr, idx, B,
+                                           asr._ax_tr)
+            return new
+
+        self._extract = jax.jit(_extract)
+        self._restore = jax.jit(_restore, donate_argnums=0)
+
+    def issue_resume_id(self, slot: int) -> str:
+        import secrets
+        rid = secrets.token_hex(8)
+        self.slot_resume_id[slot] = rid
+        return rid
+
+    async def acquire_slot(self, resume: str | None = None) -> int | None:
         async with self.lock:
             if not self.slots_free:
                 return None
@@ -75,16 +109,29 @@ class BatchedAsrState:
             self.slot_queues[slot] = asyncio.Queue()
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
             self.slot_markers[slot] = []
-            self.pending_resets.append(slot)
+            snap = await self._snapshots.take(resume)
+            if snap is not None:
+                arrays, meta = snap
+                self.pending_ops.append(("restore", slot, meta["item"],
+                                         arrays))
+                self.slot_resumed[slot] = True
+            else:
+                self.pending_ops.append(("reset", slot))
+                self.slot_resumed[slot] = False
             OPEN_CHANNELS.inc()
             return slot
 
     async def release_slot(self, slot: int):
         async with self.lock:
+            rid = self.slot_resume_id.pop(slot, None)
+            if rid is not None:
+                # applied between frames, before any later reset (FIFO)
+                self.pending_ops.append(("snapshot", slot, rid))
             self.slot_queues.pop(slot, None)
             self.slot_pcm.pop(slot, None)
             self.slot_markers.pop(slot, None)
             self.slots_free.append(slot)
+            self.slot_resumed.pop(slot, None)
             OPEN_CHANNELS.dec()
 
     def feed_pcm(self, slot: int, pcm: np.ndarray):
@@ -114,11 +161,25 @@ class BatchedAsrState:
         fs = self.frame_size
         B = self.batch_size
         while True:
-            # apply queued per-slot resets first: no step is in flight here
-            # (the to_thread below was awaited), so donating self.state is safe
-            while self.pending_resets:
-                slot = self.pending_resets.pop(0)
-                self.state = self.asr.reset_batch_idx(self.state, slot)
+            # apply queued slot ops first: no step is in flight here (the
+            # to_thread below was awaited), so donating self.state and
+            # touching asr.items is safe
+            while self.pending_ops:
+                op = self.pending_ops.pop(0)
+                if op[0] == "reset":
+                    self.state = self.asr.reset_batch_idx(self.state, op[1])
+                elif op[0] == "snapshot":
+                    import copy
+                    _, slot_, rid = op
+                    arrays = self._extract(self.state, np.int32(slot_))
+                    self._snapshots.put(
+                        rid, arrays,
+                        {"item": copy.deepcopy(self.asr.items[slot_])})
+                elif op[0] == "restore":
+                    _, slot_, item, arrays = op
+                    self.asr.items[slot_] = item
+                    self.state = self._restore(self.state, arrays,
+                                               np.int32(slot_))
             ready = [s for s, buf in self.slot_pcm.items() if buf.shape[-1] >= fs]
             if not ready:
                 await asyncio.sleep(0.005)
@@ -181,13 +242,19 @@ async def handle_asr_socket(request, state: BatchedAsrState):
     ws = web.WebSocketResponse(autoping=True, heartbeat=10.0)
     await ws.prepare(request)
     CONNECT_COUNT.inc()
-    slot = await state.acquire_slot()
+    query = dict(request.rel_url.query)
+    want_resume = "resume_support" in query or "resume" in query
+    slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.send_bytes(_packb({"type": "Error", "message": "server full"}))
         await ws.close()
         return ws
     reader = None  # opus reader created lazily (raw-pcm clients don't need it)
-    await ws.send_bytes(_packb({"type": "Ready"}))
+    ready = {"type": "Ready"}
+    if want_resume:
+        ready["resume_id"] = state.issue_resume_id(slot)
+        ready["resumed"] = state.slot_resumed.get(slot, False)
+    await ws.send_bytes(_packb(ready))
 
     async def sender():
         q = state.slot_queues[slot]

@@ -187,3 +187,70 @@ def test_batched_asr_legacy_framing_still_works():
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_batched_asr_slot_resume():
+    """ASR per-slot resume: a transcription split across a disconnect
+    (resumed into a different slot while another tenant dirties the freed
+    one) carries both the host word-state clock and the device rows — after
+    identical audio, the resumed slot's device state is bit-equal to an
+    unbroken reference slot's."""
+    from moshi_tpu.models.asr import StreamingASR
+    from moshi_tpu.serve.batched_asr import BatchedAsrState
+
+    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    asr = StreamingASR(mimi, lm, batch_size=3, asr_delay_in_tokens=2,
+                       temperature=0.0, text_tokenizer=None)
+    state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
+    fs = state.frame_size
+    rs = np.random.RandomState(0)
+    frames = [(rs.randn(fs) * 0.1).astype(np.float32) for _ in range(10)]
+
+    async def feed_and_wait(pairs, quiet=0.4, timeout=60.0):
+        import time as _time
+        for slot, pcm in pairs:
+            state.feed_pcm(slot, pcm)
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            await asyncio.sleep(quiet)
+            if all(buf.shape[-1] < fs for buf in state.slot_pcm.values()):
+                await asyncio.sleep(quiet)  # let the op/step settle
+                return
+        raise TimeoutError("audio never drained")
+
+    async def scenario():
+        loop_task = asyncio.create_task(state.run_loop())
+        ref = await state.acquire_slot()   # unbroken reference
+        user = await state.acquire_slot()  # drops mid-stream
+        first, rest = np.concatenate(frames[:5]), np.concatenate(frames[5:])
+        await feed_and_wait([(ref, first), (user, first)])
+        assert asr.items[user].step_idx == 5
+
+        rid = state.issue_resume_id(user)
+        await state.release_slot(user)
+
+        other = await state.acquire_slot()  # dirties the freed slot
+        assert other == user
+        await feed_and_wait([(other, np.concatenate(frames[:2]))])
+        assert asr.items[other].step_idx == 2  # fresh tenant, reset clock
+
+        back = await state.acquire_slot(resume=rid)
+        assert state.slot_resumed[back] is True
+        assert back not in (ref, other)
+        await asyncio.sleep(0.3)  # restore op applies between frames
+        assert asr.items[back].step_idx == 5  # clock carried over
+
+        await feed_and_wait([(ref, rest), (back, rest)])
+        assert asr.items[ref].step_idx == 10
+        assert asr.items[back].step_idx == 10
+        loop_task.cancel()
+
+        # identical audio through split-resume == unbroken: device rows
+        # (mimi conv tails + ring KV) bit-equal between the two slots
+        a = jax.tree.map(np.asarray,
+                         state._extract(state.state, np.int32(ref)))
+        b = jax.tree.map(np.asarray,
+                         state._extract(state.state, np.int32(back)))
+        jax.tree.map(np.testing.assert_array_equal, a, b)
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(scenario())
