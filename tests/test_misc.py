@@ -1,11 +1,14 @@
 """Repetition penalty, rustymimi-analog Tokenizer facade, native checkpoint
 roundtrip."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from test_lm import tiny_lm_config
+from test_server import tiny_checkpoint  # noqa: F401 (fixture)
 from test_mimi import tiny_mimi_config
 
 
@@ -199,3 +202,54 @@ def test_client_gradio_import_gated():
             cg.main()
     finally:
         sys.argv = argv
+
+
+def test_cli_client_end_to_end(tiny_checkpoint, tmp_path):
+    """The file-based CLI client against a live server: opus up, opus +
+    text down, paced at rt_factor, output wav written."""
+    pytest.importorskip("aiohttp")
+    import asyncio
+    import numpy as np
+    import jax.numpy as jnp
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu import audio, client
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+
+    class _Tok:
+        def id_to_piece(self, t):
+            return f"w{t}"
+
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, _Tok(),
+                        **info.lm_gen_config)
+    state.warmup()
+
+    rs = np.random.RandomState(0)
+    in_wav = tmp_path / "in.wav"
+    out_wav = tmp_path / "out.wav"
+    audio.write_wav(in_wav, (rs.randn(1920 * 8) * 0.05).astype(np.float32),
+                    24000)
+
+    async def scenario():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        srv = TestServer(app)
+        await srv.start_server()
+        try:
+            url = f"ws://127.0.0.1:{srv.port}/api/chat"
+            return await client.run(url, str(in_wav), str(out_wav),
+                                    rt_factor=8.0)
+        finally:
+            await srv.close()
+
+    text = asyncio.get_event_loop_policy().new_event_loop() \
+        .run_until_complete(scenario())
+    assert isinstance(text, str)
+    assert out_wav.exists(), "no audio received/written"
+    loaded, sr = audio.read_wav(out_wav)
+    assert sr == 24000 and loaded.shape[-1] >= 1920
