@@ -70,7 +70,8 @@ class BatchedAsrState:
         # structural-axes gather/scatter, host _ItemState (word accumulation,
         # per-item step clock) deep-copied into the snapshot's metadata
         from .snapshots import SnapshotStore
-        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
+        self._snapshots = SnapshotStore(ttl=60.0,
+                                        cap=max(8, self.batch_size))
         self.slot_resume_id: dict[int, str] = {}
         self.slot_resumed: dict[int, bool] = {}
         B = self.batch_size
@@ -96,8 +97,8 @@ class BatchedAsrState:
         self._restore = jax.jit(_restore, donate_argnums=0)
 
     def issue_resume_id(self, slot: int) -> str:
-        import secrets
-        rid = secrets.token_hex(8)
+        from .snapshots import new_resume_id
+        rid = new_resume_id()
         self.slot_resume_id[slot] = rid
         return rid
 
@@ -112,6 +113,13 @@ class BatchedAsrState:
             snap = await self._snapshots.take(resume)
             if snap is not None:
                 arrays, meta = snap
+                # undelivered messages / unprocessed audio / pending markers
+                # from the dropped connection carry over
+                for m in meta.get("msgs", []):
+                    self.slot_queues[slot].put_nowait(m)
+                if meta.get("pcm") is not None and meta["pcm"].size:
+                    self.slot_pcm[slot] = meta["pcm"]
+                self.slot_markers[slot] = list(meta.get("markers") or [])
                 self.pending_ops.append(("restore", slot, meta["item"],
                                          arrays))
                 self.slot_resumed[slot] = True
@@ -124,12 +132,20 @@ class BatchedAsrState:
     async def release_slot(self, slot: int):
         async with self.lock:
             rid = self.slot_resume_id.pop(slot, None)
+            q = self.slot_queues.pop(slot, None)
+            pcm = self.slot_pcm.pop(slot, None)
+            markers = self.slot_markers.pop(slot, None)
             if rid is not None:
-                # applied between frames, before any later reset (FIFO)
-                self.pending_ops.append(("snapshot", slot, rid))
-            self.slot_queues.pop(slot, None)
-            self.slot_pcm.pop(slot, None)
-            self.slot_markers.pop(slot, None)
+                # reserve NOW so a reconnect faster than one batch frame
+                # waits for the queued extraction instead of starting fresh;
+                # undelivered messages / audio / markers ride the snapshot
+                msgs = []
+                while q is not None and not q.empty():
+                    msgs.append(q.get_nowait())
+                self._snapshots.reserve(rid)
+                self.pending_ops.append(("snapshot", slot, rid,
+                                         {"msgs": msgs, "pcm": pcm,
+                                          "markers": markers}))
             self.slots_free.append(slot)
             self.slot_resumed.pop(slot, None)
             OPEN_CHANNELS.dec()
@@ -170,11 +186,12 @@ class BatchedAsrState:
                     self.state = self.asr.reset_batch_idx(self.state, op[1])
                 elif op[0] == "snapshot":
                     import copy
-                    _, slot_, rid = op
+                    _, slot_, rid, leftovers = op
                     arrays = self._extract(self.state, np.int32(slot_))
                     self._snapshots.put(
                         rid, arrays,
-                        {"item": copy.deepcopy(self.asr.items[slot_])})
+                        {"item": copy.deepcopy(self.asr.items[slot_]),
+                         **leftovers})
                 elif op[0] == "restore":
                     _, slot_, item, arrays = op
                     self.asr.items[slot_] = item
@@ -242,19 +259,25 @@ async def handle_asr_socket(request, state: BatchedAsrState):
     ws = web.WebSocketResponse(autoping=True, heartbeat=10.0)
     await ws.prepare(request)
     CONNECT_COUNT.inc()
+    from .snapshots import wants_resume
     query = dict(request.rel_url.query)
-    want_resume = "resume_support" in query or "resume" in query
+    want_resume = wants_resume(query)
     slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.send_bytes(_packb({"type": "Error", "message": "server full"}))
         await ws.close()
         return ws
-    reader = None  # opus reader created lazily (raw-pcm clients don't need it)
-    ready = {"type": "Ready"}
-    if want_resume:
-        ready["resume_id"] = state.issue_resume_id(slot)
-        ready["resumed"] = state.slot_resumed.get(slot, False)
-    await ws.send_bytes(_packb(ready))
+    try:
+        reader = None  # opus reader created lazily (raw-pcm clients skip it)
+        ready = {"type": "Ready"}
+        if want_resume:
+            ready["resume_id"] = state.issue_resume_id(slot)
+            ready["resumed"] = state.slot_resumed.get(slot, False)
+        await ws.send_bytes(_packb(ready))
+    except Exception:
+        # a client dropping mid-handshake must still release the slot
+        await state.release_slot(slot)
+        raise
 
     async def sender():
         q = state.slot_queues[slot]

@@ -164,7 +164,7 @@ class BatchedMoshiState:
         # slot's state, so a resumed batched session continues the
         # conversation (KV/delay caches) but not the exact sampling stream.
         from .snapshots import SnapshotStore
-        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
+        self._snapshots = SnapshotStore(ttl=60.0, cap=max(8, batch_size))
         self.slot_resume_id: dict[int, str] = {}
         self.slot_resumed: dict[int, bool] = {}
         mult = self.lm_gen.model_batch_mult
@@ -250,8 +250,8 @@ class BatchedMoshiState:
     def issue_resume_id(self, slot: int) -> str:
         """Announce-ahead token: the client learns it at session start so an
         abrupt drop is still resumable; release_slot snapshots under it."""
-        import secrets
-        rid = secrets.token_hex(8)
+        from .snapshots import new_resume_id
+        rid = new_resume_id()
         self.slot_resume_id[slot] = rid
         return rid
 
@@ -259,13 +259,19 @@ class BatchedMoshiState:
         """Extract the slot's state and store it under its resume_id (no-op
         unless issue_resume_id was called for this session).  The store
         moves the snapshot to host RAM in the background so it doesn't pin
-        1/B of a batch state in HBM; _restore's jit transfers it back."""
+        1/B of a batch state in HBM; _restore's jit transfers it back.
+        Undelivered output frames and unprocessed input audio carry over."""
         rid = self.slot_resume_id.pop(slot, None)
         if rid is None:
             return
+        msgs = []
+        q = self.slot_queues.get(slot)
+        while q is not None and not q.empty():
+            msgs.append(q.get_nowait())
         snap = self._extract(self.gen_state, self.enc_state, self.dec_state,
                              np.int32(slot))
-        self._snapshots.put(rid, snap)
+        self._snapshots.put(rid, snap,
+                            {"msgs": msgs, "pcm": self.slot_pcm.get(slot)})
 
     def restore_slot(self, slot: int, snap):
         self.gen_state, self.enc_state, self.dec_state = self._restore(
@@ -283,7 +289,12 @@ class BatchedMoshiState:
             self.slot_pcm[slot] = np.zeros((0,), np.float32)
             snap = await self._snapshots.take(resume)
             if snap is not None:
-                self.restore_slot(slot, snap[0])
+                arrays, meta = snap
+                for m in meta.get("msgs", []):
+                    self.slot_queues[slot].put_nowait(m)
+                if meta.get("pcm") is not None and meta["pcm"].size:
+                    self.slot_pcm[slot] = meta["pcm"]
+                self.restore_slot(slot, arrays)
                 self.slot_resumed[slot] = True
             else:
                 self.reset_slot(slot)
@@ -367,8 +378,9 @@ async def handle_chat(request, state: BatchedMoshiState):
     ws = web.WebSocketResponse()
     await ws.prepare(request)
     CONNECT_COUNT.inc()
+    from .snapshots import wants_resume
     query = dict(request.rel_url.query)
-    want_resume = "resume_support" in query or "resume" in query
+    want_resume = wants_resume(query)
     slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.close(code=1013, message=b"server full")

@@ -141,7 +141,7 @@ class BatchedTTSState:
         # pending-ops queue like resets (ADVICE r2: never touch donated
         # state from outside the step loop).
         from .snapshots import SnapshotStore
-        self._snapshots = SnapshotStore(ttl=60.0, cap=4)
+        self._snapshots = SnapshotStore(ttl=60.0, cap=max(8, batch_size))
         self.slot_resume_id: dict[int, str] = {}
         self.slot_resumed: dict[int, bool] = {}
         mult = self.gen.model_batch_mult
@@ -194,8 +194,8 @@ class BatchedTTSState:
 
     # ----------------------------------------------------------- slot mgmt
     def issue_resume_id(self, b: int) -> str:
-        import secrets
-        rid = secrets.token_hex(8)
+        from .snapshots import new_resume_id
+        rid = new_resume_id()
         self.slot_resume_id[b] = rid
         return rid
 
@@ -208,7 +208,19 @@ class BatchedTTSState:
                     if snap is not None:
                         arrays, meta = snap
                         slot = meta["slot"]
-                        slot.queue = asyncio.Queue()  # old conn's queue
+                        # fresh queue for the new connection, but carry the
+                        # undelivered pcm/event/eos items over (dropping
+                        # them would gap the audio — and a slot that
+                        # finished during the gap would hang the client
+                        # waiting for an Eos that never re-arrives)
+                        old_q, slot.queue = slot.queue, asyncio.Queue()
+                        has_eos = False
+                        while not old_q.empty():
+                            it = old_q.get_nowait()
+                            has_eos = has_eos or it[0] == "eos"
+                            slot.queue.put_nowait(it)
+                        if slot.done and not has_eos:
+                            slot.queue.put_nowait(("eos", None))
                         self.slots[b] = slot
                         self.slot_attrs[b] = meta["attrs"]
                         self.pending_ops.append(("restore", b, arrays))
@@ -225,10 +237,16 @@ class BatchedTTSState:
     async def release_slot(self, b: int):
         async with self.lock:
             if self.slots[b] is not None:
+                # the departed tenant's queued voice updates must not land
+                # on the slot's next tenant (cross-tenant voice leak)
+                self.pending_ops = [op for op in self.pending_ops
+                                    if not (op[0] == "voice" and op[1] == b)]
                 rid = self.slot_resume_id.pop(b, None)
                 if rid is not None:
-                    # snapshot rides the ops queue (applied between frames,
-                    # before any later reset of this slot — FIFO)
+                    # reserve NOW so a reconnect faster than one frame waits
+                    # for the queued extraction; the snapshot op itself
+                    # applies between frames, before any later reset (FIFO)
+                    self._snapshots.reserve(rid)
                     self.pending_ops.append(
                         ("snapshot", b, rid, self.slots[b],
                          self.slot_attrs[b]))
@@ -438,8 +456,9 @@ async def handle_batched_tts_socket(request, state: BatchedTTSState):
 
     ws = web.WebSocketResponse()
     await ws.prepare(request)
+    from .snapshots import wants_resume
     query = dict(request.rel_url.query)
-    want_resume = "resume_support" in query or "resume" in query
+    want_resume = wants_resume(query)
     slot = await state.acquire_slot(query.get("resume"))
     if slot is None:
         await ws.send_str(json.dumps({"type": "Error", "message": "full"}))

@@ -15,11 +15,20 @@ import time
 import jax
 
 
+def new_resume_id() -> str:
+    import secrets
+    return secrets.token_hex(8)
+
+
+def wants_resume(query) -> bool:
+    return "resume_support" in query or "resume" in query
+
+
 class SnapshotStore:
     def __init__(self, ttl: float = 60.0, cap: int = 4):
         self.ttl = ttl
         self.cap = cap
-        # rid -> [expires, arrays, meta, offload_task | None]
+        # rid -> [expires, arrays, meta, offload_task | None, filled_event]
         self._items: dict[str, list] = {}
 
     def __len__(self):
@@ -30,16 +39,38 @@ class SnapshotStore:
         for k in [k for k, it in self._items.items() if now > it[0]]:
             del self._items[k]
 
-    def put(self, rid: str, arrays, meta: dict | None = None):
-        """Store under `rid` and offload `arrays` to host in the background.
+    def reserve(self, rid: str):
+        """Placeholder for a snapshot whose extraction is still queued
+        behind an in-flight batch step: a client reconnecting faster than
+        one frame must wait for put() instead of silently starting fresh.
         No-op when ttl <= 0."""
         if self.ttl <= 0:
             return
         self.sweep()
         while len(self._items) >= self.cap:
             del self._items[next(iter(self._items))]
-        item = [time.time() + self.ttl, arrays, dict(meta or {}), None]
-        self._items[rid] = item
+        try:
+            event = asyncio.Event()
+        except RuntimeError:
+            event = None
+        self._items[rid] = [time.time() + self.ttl, None, None, None, event]
+
+    def put(self, rid: str, arrays, meta: dict | None = None):
+        """Store under `rid` (filling a reservation if present) and offload
+        `arrays` to host in the background.  No-op when ttl <= 0."""
+        if self.ttl <= 0:
+            return
+        item = self._items.get(rid)
+        if item is None:
+            self.sweep()
+            while len(self._items) >= self.cap:
+                del self._items[next(iter(self._items))]
+            item = [time.time() + self.ttl, None, None, None, None]
+            self._items[rid] = item
+        item[1] = arrays
+        item[2] = dict(meta or {})
+        if item[4] is not None:
+            item[4].set()
 
         async def _offload():
             # written even after eviction/take (harmless: the list is then
@@ -51,20 +82,31 @@ class SnapshotStore:
         except RuntimeError:
             pass  # no running loop (tests driving sync): stays on device
 
-    async def take(self, rid: str | None):
-        """One-shot: returns (arrays, meta) or None.  Waits for the offload
-        so the caller always restores from host copies — never from device
-        buffers an in-flight device_get still reads (the restored state's
-        first step donates them)."""
+    async def take(self, rid: str | None, fill_timeout: float = 5.0):
+        """One-shot: returns (arrays, meta) or None.  Waits for a reserved
+        entry to be filled (the extraction op drains between frames) and
+        for the offload, so the caller always restores from host copies —
+        never from device buffers an in-flight device_get still reads (the
+        restored state's first step donates them)."""
         self.sweep()
-        item = self._items.pop(rid, None) if rid else None
+        # look up WITHOUT popping first: put() fills a reservation by rid,
+        # so the entry must stay findable while we await the fill event
+        item = self._items.get(rid) if rid else None
         if item is None:
             return None
-        _, arrays, meta, task = item
+        if item[1] is None and item[4] is not None:
+            try:
+                await asyncio.wait_for(item[4].wait(), fill_timeout)
+            except asyncio.TimeoutError:
+                self._items.pop(rid, None)
+                return None
+        self._items.pop(rid, None)
+        if item[1] is None:
+            return None
+        task = item[3]
         if task is not None and not task.done():
             try:
                 await task
             except Exception:
                 pass
-            arrays = item[1]
-        return arrays, meta
+        return item[1], item[2]
