@@ -42,7 +42,6 @@ Usage: python -m moshi_tpu.serve.worker --config config.toml [--port 8998]
 
 import argparse
 import asyncio
-import json
 import tomllib
 from pathlib import Path
 
