@@ -316,9 +316,12 @@ class StreamingTransformer:
             hd = c.num_kv_heads * c.head_dim
             lead = shape[:2]  # (L, B)
             # lane (position) dim padded to a 128 multiple: Mosaic kernels
-            # need lane-aligned blocks; the scales keep the LOGICAL cap (the
-            # ring/mask math reads it from k_scale), and the pad lanes are
-            # never written or attended (mask pads to -inf in the wrapper)
+            # need lane-aligned blocks.  Cache AND scales are stored
+            # lane-padded to cap_pad (padding the scale stacks per layer
+            # inside the scan cost ~8.5 ms/frame — jnp.pad of loop-invariant
+            # operands is not hoisted); the logical cap comes from the
+            # config, and pad lanes are never written or attended (the
+            # kernel masks them to -inf via the position bias)
             cap_pad = -(-cap // 128) * 128
             assert capacity is None or capacity == c.kv_capacity, \
                 "int4 KV reads its logical capacity from the config"
@@ -895,8 +898,10 @@ def _quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _quant_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric int4 quantization per (batch, time, head) row of
-    [B, T, H, D]: values in [-7, 7] stored in int8 (packing happens at the
-    cache write, `_rmw_nibble`), scale [B, T, H, 1] f32."""
+    [B, T, H, D]: values in [-7, 7] stored in int8 (channel-pair packing
+    happens at the cache write — `_pack_nibble_cols` on the XLA path, fused
+    inside `ops.int4_attention.cache_write_int4` on the Pallas path),
+    scale [B, T, H, 1] f32."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-6) / 7.0

@@ -103,6 +103,8 @@ class BatchedAsrState:
         return rid
 
     async def acquire_slot(self, resume: str | None = None) -> int | None:
+        from .snapshots import await_pending_release
+        await await_pending_release(self.slot_resume_id, resume)
         async with self.lock:
             if not self.slots_free:
                 return None

@@ -200,6 +200,8 @@ class BatchedTTSState:
         return rid
 
     async def acquire_slot(self, resume: str | None = None) -> int | None:
+        from .snapshots import await_pending_release
+        await await_pending_release(self.slot_resume_id, resume)
         async with self.lock:
             for b in range(self.batch_size):
                 if self.slots[b] is None:

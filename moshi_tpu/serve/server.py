@@ -432,9 +432,13 @@ class ServerState:
             session_cfg = self.apply_session_config(query)
             self.reset()
             self.session_tokens = []
-        import secrets
-        self._resume_id = secrets.token_hex(8)
-        session_cfg["resume_id"] = self._resume_id
+        # issue a resume_id only to clients that opted in: bare reference
+        # clients are never told the id, so storing a snapshot for them
+        # would only churn real users' entries out of the capped store
+        from .snapshots import new_resume_id, wants_resume
+        self._resume_id = new_resume_id() if wants_resume(query) else None
+        if self._resume_id is not None:
+            session_cfg["resume_id"] = self._resume_id
         session_cfg["resumed"] = resumed
         # strict 8-byte handshake payload (rust/protocol.md:11-13);
         # the bare-b"\x00" Python-reference form is still accepted
@@ -735,10 +739,15 @@ def main():
     log("info", "warming up")
     state.warmup()
 
+    ssl_context = None
+    if args.ssl:
+        from .worker import make_ssl_context
+        ssl_context = make_ssl_context(args.ssl)
     app = web.Application()
     app.router.add_get("/api/chat", state.handle_chat)
+    ws_scheme = "wss" if ssl_context else "ws"
     addr = (args.advertised_addr
-            or f"ws://{args.host}:{args.port}/api/chat")
+            or f"{ws_scheme}://{args.host}:{args.port}/api/chat")
     QueueAPI(state, addr).add_routes(app)
     if args.static:
         import os
@@ -749,10 +758,6 @@ def main():
         app.router.add_get("/", handle_root)
         app.router.add_static("/", path=args.static, follow_symlinks=True,
                               name="static")
-    ssl_context = None
-    if args.ssl:
-        from .worker import make_ssl_context
-        ssl_context = make_ssl_context(args.ssl)
     scheme = "https" if ssl_context else "http"
     log("info", f"serving at {scheme}://{args.host}:{args.port}")
     web.run_app(app, host=args.host, port=args.port, ssl_context=ssl_context)

@@ -24,6 +24,22 @@ def wants_resume(query) -> bool:
     return "resume_support" in query or "resume" in query
 
 
+async def await_pending_release(slot_resume_id: dict, rid: str | None,
+                                timeout: float = 1.0):
+    """A reconnect's acquire_slot can win the event loop over the dropped
+    session's parked release_slot; without this, take() finds no entry and
+    the session silently starts fresh while release_slot then stores an
+    orphan snapshot.  Waits (bounded) until the rid's owning slot has been
+    released — i.e. its snapshot has been reserved/stored — before the
+    caller locks and looks it up.  Call BEFORE taking the server lock
+    (release_slot needs it).  No-op for unknown or already-released rids."""
+    if not rid:
+        return
+    deadline = time.monotonic() + timeout
+    while rid in slot_resume_id.values() and time.monotonic() < deadline:
+        await asyncio.sleep(0.01)
+
+
 class SnapshotStore:
     def __init__(self, ttl: float = 60.0, cap: int = 4):
         self.ttl = ttl
@@ -98,8 +114,12 @@ class SnapshotStore:
             try:
                 await asyncio.wait_for(item[4].wait(), fill_timeout)
             except asyncio.TimeoutError:
-                self._items.pop(rid, None)
-                return None
+                pass
+            # the awaited reservation may have been cap-evicted and
+            # re-created by put() while we waited (its event is then a
+            # different object that never fires for us): re-resolve the rid
+            # so a freshly stored snapshot is found instead of discarded
+            item = self._items.get(rid, item)
         self._items.pop(rid, None)
         if item[1] is None:
             return None

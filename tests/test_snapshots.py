@@ -56,6 +56,57 @@ def test_reserve_makes_fast_reconnects_wait_for_fill():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
 
 
+def test_take_survives_cap_eviction_of_awaited_reservation():
+    """Churn at the cap can evict a reservation while take() awaits its fill
+    event; the later put() re-creates the entry with a NEW event.  take()
+    must re-resolve the rid after the wait instead of timing out and
+    discarding the freshly stored snapshot."""
+    async def run():
+        st = SnapshotStore(ttl=30.0, cap=2)
+        st.reserve("victim")
+
+        async def churn_then_fill():
+            await asyncio.sleep(0.05)
+            st.put("x1", {"x": np.zeros(1)})  # cap=2: evicts "victim"
+            st.put("x2", {"x": np.zeros(1)})
+            st.put("victim", {"a": np.ones(3)}, {"late": True})
+
+        task = asyncio.create_task(churn_then_fill())
+        got = await st.take("victim", fill_timeout=0.5)
+        await task
+        assert got is not None and got[1]["late"] is True
+        np.testing.assert_array_equal(got[0]["a"], np.ones(3))
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_await_pending_release():
+    """acquire racing ahead of the dropped session's release_slot waits for
+    the rid to leave the owning map (bounded)."""
+    from moshi_tpu.serve.snapshots import await_pending_release
+
+    async def run():
+        owned = {3: "rid-a"}
+
+        async def release_later():
+            await asyncio.sleep(0.05)
+            del owned[3]
+
+        task = asyncio.create_task(release_later())
+        await await_pending_release(owned, "rid-a", timeout=1.0)
+        assert 3 not in owned
+        await task
+        # unknown rid / None: immediate no-ops
+        await await_pending_release(owned, "unknown")
+        await await_pending_release(owned, None)
+        # never released: returns after the bounded timeout
+        owned[4] = "rid-b"
+        await asyncio.wait_for(
+            await_pending_release(owned, "rid-b", timeout=0.1), 2.0)
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
 def test_ttl_and_cap():
     async def run():
         st = SnapshotStore(ttl=0.1, cap=2)
