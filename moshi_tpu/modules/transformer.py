@@ -791,12 +791,8 @@ class StreamingTransformer:
         L = c.num_layers
         hd2 = k_all.shape[2]
         H = c.num_kv_heads
-        import sys as _sys
-        skip = getattr(_sys.modules[__name__], "_SKIP_INT4_WRITES", False)
         from ..ops.q4matmul import use_pallas
-        if skip:
-            pass  # perf-ablation hook (scripts only; never set in serving)
-        elif use_pallas() and c.kv_repeat == 1:
+        if use_pallas() and c.kv_repeat == 1:
             # fused DMA write kernel: the 4*B-op DUS chain below is
             # op-latency bound (~2 ms/frame at B=8)
             from ..ops.int4_attention import cache_write_int4

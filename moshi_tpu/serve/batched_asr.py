@@ -69,10 +69,10 @@ class BatchedAsrState:
         # per-slot session resume: device rows (mimi + transformer) via the
         # structural-axes gather/scatter, host _ItemState (word accumulation,
         # per-item step clock) deep-copied into the snapshot's metadata
-        from .snapshots import SnapshotStore
+        from .snapshots import SnapshotStore, RidRegistry
         self._snapshots = SnapshotStore(ttl=60.0,
                                         cap=max(8, self.batch_size))
-        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resume_id = RidRegistry()
         self.slot_resumed: dict[int, bool] = {}
         B = self.batch_size
         import jax

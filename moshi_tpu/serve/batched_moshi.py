@@ -163,9 +163,9 @@ class BatchedMoshiState:
         # the user reconnects to.  The shared batch rng is NOT part of a
         # slot's state, so a resumed batched session continues the
         # conversation (KV/delay caches) but not the exact sampling stream.
-        from .snapshots import SnapshotStore
+        from .snapshots import SnapshotStore, RidRegistry
         self._snapshots = SnapshotStore(ttl=60.0, cap=max(8, batch_size))
-        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resume_id = RidRegistry()
         self.slot_resumed: dict[int, bool] = {}
         mult = self.lm_gen.model_batch_mult
         _GEN_KEYS = ("cache", "offsets", "transformer", "text_history",

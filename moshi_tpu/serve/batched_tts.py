@@ -140,9 +140,9 @@ class BatchedTTSState:
         # state carried in the snapshot's metadata.  All mutations ride the
         # pending-ops queue like resets (ADVICE r2: never touch donated
         # state from outside the step loop).
-        from .snapshots import SnapshotStore
+        from .snapshots import SnapshotStore, RidRegistry
         self._snapshots = SnapshotStore(ttl=60.0, cap=max(8, batch_size))
-        self.slot_resume_id: dict[int, str] = {}
+        self.slot_resume_id = RidRegistry()
         self.slot_resumed: dict[int, bool] = {}
         mult = self.gen.model_batch_mult
         _GEN_KEYS = ("cache", "offsets", "transformer", "text_history",

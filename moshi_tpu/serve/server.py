@@ -13,7 +13,8 @@ endTurn is a no-op here (protocol.md: "not used in full streaming mode").
 
 The opus side uses the native C++ `moshi_native` codec (analog of sphn).
 
-Extension beyond the reference: one-shot session resume.  Every session's
+Extension beyond the reference: one-shot session resume, opt-in via the
+`resume_support`/`resume` query params.  An opted-in session's
 MT 4 config echo carries a `resume_id`; on disconnect the full streaming
 state (conv tails, ring KV, delay cache, rng) is snapshotted for
 `--resume-ttl` seconds, and a client reconnecting with `?resume=<id>`

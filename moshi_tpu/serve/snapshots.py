@@ -1,12 +1,13 @@
 """Session-resume snapshot store, shared by the single-session and batched
 servers.
 
-A snapshot is (array pytree, host metadata), keyed by the resume_id that was
-announced to the client at session start.  Entries are TTL'd, capped, and
-their arrays are moved to host RAM by a background task so HBM is never
-pinned for the TTL.  `take` is one-shot and awaits any in-flight offload
-first — restoring the original device buffers while `jax.device_get` still
-reads them would race with the resumed session's donated first step.
+A snapshot is (array pytree, host metadata), keyed by a resume_id the client
+learns at session start when it opted in (``resume_support``/``resume`` query
+params; sessions without the opt-in never populate the store).  Entries are
+TTL'd, capped, and their arrays are moved to host RAM by a background task so
+HBM is never pinned for the TTL.  `take` is one-shot and awaits any in-flight
+offload first — restoring the original device buffers while `jax.device_get`
+still reads them would race with the resumed session's donated first step.
 """
 
 import asyncio
@@ -24,6 +25,29 @@ def wants_resume(query) -> bool:
     return "resume_support" in query or "resume" in query
 
 
+class RidRegistry(dict):
+    """slot -> resume_id mapping that wakes awaiters when a rid is popped
+    (i.e. its owning slot was released and the snapshot stored/reserved)."""
+
+    def __init__(self):
+        super().__init__()
+        self._released: dict[str, asyncio.Event] = {}
+
+    def _event(self, rid: str) -> asyncio.Event:
+        ev = self._released.get(rid)
+        if ev is None:
+            ev = self._released[rid] = asyncio.Event()
+        return ev
+
+    def pop(self, slot, default=None):
+        rid = super().pop(slot, default)
+        if rid is not None:
+            ev = self._released.pop(rid, None)
+            if ev is not None:
+                ev.set()
+        return rid
+
+
 async def await_pending_release(slot_resume_id: dict, rid: str | None,
                                 timeout: float = 1.0):
     """A reconnect's acquire_slot can win the event loop over the dropped
@@ -33,7 +57,13 @@ async def await_pending_release(slot_resume_id: dict, rid: str | None,
     released — i.e. its snapshot has been reserved/stored — before the
     caller locks and looks it up.  Call BEFORE taking the server lock
     (release_slot needs it).  No-op for unknown or already-released rids."""
-    if not rid:
+    if not rid or rid not in slot_resume_id.values():
+        return
+    if isinstance(slot_resume_id, RidRegistry):
+        try:
+            await asyncio.wait_for(slot_resume_id._event(rid).wait(), timeout)
+        except asyncio.TimeoutError:
+            pass
         return
     deadline = time.monotonic() + timeout
     while rid in slot_resume_id.values() and time.monotonic() < deadline:

@@ -63,8 +63,11 @@ def make(out_dir: str | Path, seed: int = 0) -> Path:
     # ---- tiny LM (same shape family as tests/test_lm.tiny_lm_config, but a
     # roomier context so demo sessions run a while before the ring wraps)
     lm_fields = dict(
+        # card == quantizer bins (32): real checkpoints keep the LM audio
+        # vocab equal to the mimi codebook size; a larger card would sample
+        # tokens the codebook gather silently clamps (advisor r3).
         dim=32, num_heads=2, num_layers=2, hidden_scale=4.125, n_q=4,
-        dep_q=2, card=48, text_card=64, norm="rms_norm_f32", context=50,
+        dep_q=2, card=32, text_card=64, norm="rms_norm_f32", context=50,
         max_period=10000.0, gating="silu", positional_embedding="rope",
         depformer_dim=16, depformer_num_heads=2, depformer_num_layers=2,
         depformer_dim_feedforward=64, depformer_gating="silu",
