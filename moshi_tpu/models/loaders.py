@@ -679,6 +679,8 @@ def hf_get(filename: str | Path, hf_repo: str | None = None,
     if hf_repo is not None:
         if check_local_file_exists and Path(filename).exists():
             return Path(filename)
+        if Path(hf_repo).is_dir():  # local directory standing in for a repo
+            return Path(hf_repo) / filename
         return Path(_hf_hub_download(hf_repo, filename, revision=revision))
     return Path(filename)
 

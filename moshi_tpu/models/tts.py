@@ -215,7 +215,8 @@ class TTSModel:
                  max_speakers: int = DEFAULT_MAX_SPEAKERS,
                  temp: float = 0.6, cfg_coef: float = 1.0,
                  final_padding: int = 4, n_q: int = 32,
-                 max_gen_length: int = 30_000, padding_bonus: float = 0.0):
+                 max_gen_length: int = 30_000, padding_bonus: float = 0.0,
+                 voice_suffix: str = "", voice_repo: str | None = None):
         self.lm = lm
         self.mimi = mimi
         self.tokenizer = tokenizer
@@ -230,6 +231,8 @@ class TTSModel:
         self.n_q = min(n_q, lm.config.dep_q)
         self.max_gen_length = max_gen_length
         self.padding_bonus = padding_bonus
+        self.voice_suffix = voice_suffix
+        self.voice_repo = voice_repo
 
     @property
     def multi_speaker(self) -> bool:
@@ -278,10 +281,34 @@ class TTSModel:
                 text["cfg"] = format(cfg_coef, ".1f")
         return ConditionAttributes(text=text, tensor=tensors)
 
+    def get_voice_path(self, voice_name: str):
+        """Resolve a voice name to a local embedding file, potentially
+        fetching it from the voice repo (tts.py:630-637); `hf://REPO/PATH`
+        selects another repo."""
+        from .loaders import hf_get
+        return hf_get(voice_name + self.voice_suffix, self.voice_repo,
+                      check_local_file_exists=True)
+
+    @staticmethod
+    def load_voice_embedding(path) -> np.ndarray:
+        """Load one pre-computed speaker embedding [1, T, D] from a voice
+        safetensors (`speaker_wavs` stored [1, D, T], run_tts.py usage)."""
+        from safetensors import safe_open
+        with safe_open(str(path), framework="numpy") as f:
+            emb = f.get_tensor("speaker_wavs")
+        return np.transpose(emb, (0, 2, 1))
+
     def get_prefix(self, mimi_params, wav: np.ndarray) -> np.ndarray:
         """Encode a voice audio prefix (tts.py:685-691).  wav: [T] float."""
         codes = self.mimi.encode(mimi_params, jnp.asarray(wav)[None, None])
-        prefix = np.asarray(codes)[0, :, :-2]
+        # the reference's mimi is configured to the LM's n_q codebooks
+        # (set_num_codebooks at load); trim here instead.  If the codec has
+        # FEWER codebooks than the LM consumes (moshi-style checkpoints),
+        # the missing rows stay UNGENERATED — i.e. sampled, not forced.
+        n_q = self.lm.config.n_q
+        avail = np.asarray(codes)[0, :n_q, :-2]
+        prefix = np.full((n_q, avail.shape[1]), UNGENERATED_TOKEN, np.int64)
+        prefix[: avail.shape[0]] = avail
         null_text = np.full((1, prefix.shape[1]), ZERO_TOKEN, np.int64)
         return np.concatenate([null_text, prefix], axis=0)
 
@@ -420,3 +447,78 @@ class TTSModel:
             chunks = [p[b, 0] for p in pcms[start:end]]
             out.append(np.concatenate(chunks) if chunks else np.zeros((0,), np.float32))
         return out
+
+    # ---------------------------------------------------------- simple API
+    def simple_generate(self, params: dict, mimi_params: dict,
+                        text: str | list[str], voice: str | list[str],
+                        cfg_coef: float = 2.0,
+                        condition_params: dict | None = None,
+                        rng: jax.Array | None = None,
+                        on_frame: tp.Callable | None = None
+                        ) -> list[np.ndarray]:
+        """Generate audio directly from text and voice name(s)
+        (tts.py:693-800): `text` and `voice` broadcast against each other
+        numpy-style — a single item is repeated to match a list; two lists
+        must have equal length and voice[i] reads text[i].
+
+        Voice entries: a path to a `.safetensors` voice-embedding file (local,
+        or resolved inside `voice_repo` for bare names); or, for audio-prefix
+        models (no speaker conditioner), `file://path.wav` — the audio is
+        Mimi-encoded and teacher-forced as a prefix.
+
+        Returns one 1-D float32 PCM array per (text, voice) pair at
+        `mimi.sample_rate` (lengths vary)."""
+        multiple_texts = isinstance(text, list)
+        multiple_voices = isinstance(voice, list)
+        if not multiple_texts and not multiple_voices:
+            texts, voices = [text], [voice]
+        elif multiple_texts and not multiple_voices:
+            texts, voices = text, [voice] * len(text)
+        elif not multiple_texts and multiple_voices:
+            texts, voices = [text] * len(voice), voice
+        else:
+            if len(text) != len(voice):
+                raise ValueError("Number of texts and voices must match, got "
+                                 f"{len(text)} != {len(voice)}")
+            if not text:
+                raise ValueError("Got empty list, nothing to generate")
+            texts, voices = text, voice
+
+        entries_batch = [self.prepare_script([t], padding_between=1)
+                         for t in texts]
+
+        trained_with_cfg_distillation = bool(self.valid_cfg_conditionings)
+        if not trained_with_cfg_distillation:
+            # pass the CFG coef to the model directly; otherwise it is set
+            # via the 'cfg' conditioning attribute below
+            self.cfg_coef = cfg_coef
+
+        if self.multi_speaker:
+            voice_paths = [v if str(v).endswith(".safetensors")
+                           else self.get_voice_path(v) for v in voices]
+            attributes = [self.make_condition_attributes(
+                [self.load_voice_embedding(vp)],
+                cfg_coef=cfg_coef if trained_with_cfg_distillation else None)
+                for vp in voice_paths]
+            prefixes = None
+            prefix_length_frames = [0] * len(voice_paths)
+        else:
+            from .. import audio as _audio
+            attributes = None
+            prefixes = []
+            for v in voices:
+                if not str(v).startswith("file://"):
+                    raise ValueError(
+                        "this model is conditioned by audio prefix: pass "
+                        f"voices as file://path.wav, got {v!r}")
+                wav, _ = _audio.read_wav(str(v).removeprefix("file://"),
+                                         self.mimi.sample_rate)
+                prefixes.append(self.get_prefix(mimi_params, wav[0]))
+            prefix_length_frames = [p.shape[-1] for p in prefixes]
+
+        result = self.generate(
+            params, entries_batch, attributes=attributes,
+            condition_params=condition_params, prefixes=prefixes,
+            rng=rng, on_frame=on_frame)
+        return self.synthesize_pcm(params, mimi_params, result,
+                                   prefix_length_frames=prefix_length_frames)

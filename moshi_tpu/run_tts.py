@@ -18,9 +18,13 @@ from .models.tts import TTSModel, StateMachine, TokenIds
 from . import audio
 
 
+DEFAULT_DSM_TTS_VOICE_REPO = "kyutai/tts-voices"  # reference tts.py:32
+
+
 def build_tts(checkpoint_dir: str | Path, temp: float = 0.6,
               cfg_coef: float = 1.0, n_q: int = 32,
-              max_padding: int = 8, initial_padding: int = 2):
+              max_padding: int = 8, initial_padding: int = 2,
+              voice_repo: str = DEFAULT_DSM_TTS_VOICE_REPO):
     info = CheckpointInfo.from_dir(checkpoint_dir)
     mimi, mimi_params = info.get_mimi()
     lm, lm_params = info.get_moshi()
@@ -35,10 +39,16 @@ def build_tts(checkpoint_dir: str | Path, temp: float = 0.6,
         TokenIds(card=lm.config.text_card + 1),
         second_stream_ahead=tts_cfg.get("second_stream_ahead", 0),
         max_padding=max_padding, initial_padding=initial_padding)
+    # voice names resolve to "<name>.<sig>@<epoch>.safetensors" in the voice
+    # repo (reference tts.py:396-401)
+    mid = info.model_id or {}
+    voice_suffix = (f".{mid['sig']}@{mid['epoch']}.safetensors"
+                    if "sig" in mid and "epoch" in mid else "")
     tts = TTSModel(lm, mimi, tokenizer, machine, delay_steps,
                    condition_provider=condition_provider, fuser=fuser,
                    max_speakers=tts_cfg.get("max_speakers", 5),
-                   temp=temp, cfg_coef=cfg_coef, n_q=n_q)
+                   temp=temp, cfg_coef=cfg_coef, n_q=n_q,
+                   voice_suffix=voice_suffix, voice_repo=voice_repo)
     return tts, lm_params, mimi_params, cp_params
 
 
@@ -49,12 +59,39 @@ def main():
     parser.add_argument("--cfg-coef", type=float, default=1.0)
     parser.add_argument("--n-q", type=int, default=32)
     parser.add_argument("--debug-json", type=str, default=None)
-    parser.add_argument("infile", help="JSONL: one {\"turns\": [...]} per line")
+    parser.add_argument("--voice-repo", default=DEFAULT_DSM_TTS_VOICE_REPO)
+    parser.add_argument("--text", action="append", default=None,
+                        help="simple mode: text(s) to synthesize (repeatable);"
+                             " broadcast against --voice like numpy")
+    parser.add_argument("--voice", action="append", default=None,
+                        help="simple mode: voice name(s)/path(s) (repeatable)")
+    parser.add_argument("infile", nargs="?", default=None,
+                        help="JSONL: one {\"turns\": [...]} per line")
     parser.add_argument("outdir")
     args = parser.parse_args()
 
     tts, lm_params, mimi_params, cp_params = build_tts(
-        args.checkpoint_dir, args.temp, args.cfg_coef, args.n_q)
+        args.checkpoint_dir, args.temp, args.cfg_coef, args.n_q,
+        voice_repo=args.voice_repo)
+
+    if args.text is not None:
+        # simple broadcast API (reference tts.py:693-800)
+        texts = args.text if len(args.text) > 1 else args.text[0]
+        voices = (args.voice if args.voice and len(args.voice) > 1
+                  else (args.voice[0] if args.voice else ""))
+        pcms = tts.simple_generate(lm_params, mimi_params, texts, voices,
+                                   cfg_coef=args.cfg_coef,
+                                   condition_params=cp_params,
+                                   rng=jax.random.PRNGKey(0))
+        outdir = Path(args.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for i, pcm in enumerate(pcms):
+            path = outdir / f"tts-{i}.wav"
+            audio.write_wav(path, pcm, tts.mimi.sample_rate)
+            print(f"wrote {path} ({pcm.shape[-1] / tts.mimi.sample_rate:.1f}s)")
+        return
+    if args.infile is None:
+        parser.error("either an infile or --text is required")
 
     entries_batch = []
     attrs = []

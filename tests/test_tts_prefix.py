@@ -51,3 +51,120 @@ def test_tts_generate_with_audio_prefix():
         if prefix[1, t] in frames[1][: Tp + tts.delay_steps + 2]:
             found += 1
     assert found >= Tp - 1, (found, prefix[1], frames[1][:10])
+
+
+def _voiced_tts(tmp_path):
+    """Tiny multi-speaker TTS + two voice-embedding safetensors on disk."""
+    from moshi_tpu.conditioners import (ConditionProvider, TensorConditioner,
+                                        ConditionFuser)
+    cfg = tiny_lm_config(n_q=2, dep_q=2, delays=(0, 0, 1),
+                         cross_attention=True)
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+    machine = StateMachine(TokenIds(card=cfg.text_card + 1), max_padding=3,
+                           initial_padding=1)
+    provider = ConditionProvider(
+        {"speaker_wavs": TensorConditioner(output_dim=cfg.dim, dim=6)})
+    fuser = ConditionFuser({"cross": ["speaker_wavs"]})
+    cp_params = provider.init_params(jax.random.PRNGKey(2))
+    tts = TTSModel(lm, mimi, FakeTokenizer(), machine, delay_steps=2,
+                   condition_provider=provider, fuser=fuser, max_speakers=1,
+                   temp=0.0, n_q=2, max_gen_length=60, final_padding=2,
+                   voice_repo=str(tmp_path))
+    from safetensors.numpy import save_file
+    rs = np.random.RandomState(3)
+    for name in ("alice", "bob"):
+        # stored [1, D, T] like the reference voice files (run_tts.py usage)
+        save_file({"speaker_wavs": rs.randn(1, 6, 4).astype(np.float32)},
+                  tmp_path / f"{name}.safetensors")
+    return tts, lm_params, mimi_params, cp_params
+
+
+def test_simple_generate_broadcast(tmp_path):
+    """simple_generate broadcasts text x voice numpy-style and matches the
+    manual generate()+synthesize_pcm pipeline exactly (tts.py:693-800)."""
+    tts, lm_params, mimi_params, cp_params = _voiced_tts(tmp_path)
+    va = str(tmp_path / "alice.safetensors")
+    vb = str(tmp_path / "bob.safetensors")
+
+    # 1x1
+    pcms = tts.simple_generate(lm_params, mimi_params, "hello world", va,
+                               cfg_coef=1.0, condition_params=cp_params,
+                               rng=jax.random.PRNGKey(5))
+    assert len(pcms) == 1 and pcms[0].ndim == 1 and pcms[0].size > 0
+    assert pcms[0].dtype == np.float32
+
+    # broadcast: 2 texts x 1 voice, 1 text x 2 voices, 2 x 2
+    p2 = tts.simple_generate(lm_params, mimi_params,
+                             ["hello world", "more text here"], va,
+                             cfg_coef=1.0, condition_params=cp_params,
+                             rng=jax.random.PRNGKey(5))
+    assert len(p2) == 2
+    p3 = tts.simple_generate(lm_params, mimi_params, "hello world", [va, vb],
+                             cfg_coef=1.0, condition_params=cp_params,
+                             rng=jax.random.PRNGKey(5))
+    assert len(p3) == 2
+    # same text, same rng, voice A in slot 0: matches the 1x1 run exactly
+    # (random tiny weights produce non-finite PCM; compare bit-wise)
+    assert p3[0].shape == pcms[0].shape
+    assert np.array_equal(p3[0], pcms[0], equal_nan=True)
+    # (voice influence on the audio itself is covered by
+    # test_serving_extra.test_tts_voice_conditioning_streamers; random
+    # tiny weights give non-finite PCM so it can't be asserted here)
+
+    import pytest
+    with pytest.raises(ValueError):
+        tts.simple_generate(lm_params, mimi_params, ["a", "b"], [va, vb, va],
+                            cfg_coef=1.0, condition_params=cp_params)
+
+    # equivalence with the manual pipeline (greedy, same rng)
+    entries = [tts.prepare_script(["hello world"], padding_between=1)]
+    attrs = [tts.make_condition_attributes([tts.load_voice_embedding(va)])]
+    result = tts.generate(lm_params, entries, attributes=attrs,
+                          condition_params=cp_params,
+                          rng=jax.random.PRNGKey(5))
+    manual = tts.synthesize_pcm(lm_params, mimi_params, result,
+                                prefix_length_frames=[0])
+    assert manual[0].shape == pcms[0].shape
+    assert np.array_equal(manual[0], pcms[0], equal_nan=True)
+
+
+def test_simple_generate_voice_name_resolution(tmp_path):
+    """Bare voice names resolve inside voice_repo with the model's suffix."""
+    tts, lm_params, mimi_params, cp_params = _voiced_tts(tmp_path)
+    tts.voice_suffix = ".safetensors"
+    pcms = tts.simple_generate(lm_params, mimi_params, "hello world", "alice",
+                               cfg_coef=1.0, condition_params=cp_params,
+                               rng=jax.random.PRNGKey(5))
+    assert len(pcms) == 1 and pcms[0].size > 0
+
+
+def test_simple_generate_audio_prefix(tmp_path):
+    """file:// voices drive the audio-prefix (non-multi-speaker) path."""
+    from moshi_tpu import audio as maudio
+    cfg = tiny_lm_config(n_q=2, dep_q=2, delays=(0, 0, 1))
+    lm = LMModel(cfg)
+    lm_params = lm.init_params(jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi = MimiModel(tiny_mimi_config())
+    mimi_params = mimi.init_params(jax.random.PRNGKey(1))
+    machine = StateMachine(TokenIds(card=cfg.text_card + 1), max_padding=3,
+                           initial_padding=1)
+    tts = TTSModel(lm, mimi, FakeTokenizer(), machine, delay_steps=2,
+                   temp=0.0, n_q=2, max_gen_length=60, final_padding=2)
+
+    sr = mimi.sample_rate
+    wav = (0.05 * np.sin(np.linspace(0, 300, mimi.frame_size * 4))
+           ).astype(np.float32)
+    maudio.write_wav(tmp_path / "voice.wav", wav, sr)
+
+    pcms = tts.simple_generate(lm_params, mimi_params, "hi there",
+                               f"file://{tmp_path / 'voice.wav'}",
+                               cfg_coef=1.0, rng=jax.random.PRNGKey(2))
+    assert len(pcms) == 1 and pcms[0].ndim == 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        tts.simple_generate(lm_params, mimi_params, "hi", "not-a-prefix",
+                            cfg_coef=1.0)
