@@ -69,6 +69,34 @@ def _per_step_linear(w: jax.Array, x: jax.Array,
     return einsum("btd,tdo->bto", x, wt)
 
 
+def _split_q4_layers(layers):
+    """Split stacked layer params for a lax.scan: QTensor4 leaves leave the
+    scan xs (scan's per-iteration dynamic-slice cannot fuse into a pallas
+    operand — XLA copies the whole member, ~5 ms/frame on the 7B at B=1,
+    measured) and are closure-captured whole; `rebuild(xs, l)` re-inserts
+    them as QTensor4Ref views indexed by the layer id, which q4gemm_stacked
+    consumes via scalar prefetch.
+
+    Returns (xs_tree, rebuild).  Identity when there are no q4 leaves."""
+    from ..utils.quantize import QTensor4, QTensor4Ref
+
+    def is_q4(x):
+        return isinstance(x, QTensor4)
+
+    leaves, treedef = jax.tree.flatten(layers, is_leaf=is_q4)
+    if not any(is_q4(x) for x in leaves):
+        return layers, lambda xs, l: xs
+    xs_leaves = [x for x in leaves if not is_q4(x)]
+
+    def rebuild(xs_list, l):
+        it = iter(xs_list)
+        out = [QTensor4Ref.from_stack(x, l) if is_q4(x) else next(it)
+               for x in leaves]
+        return jax.tree.unflatten(treedef, out)
+
+    return xs_leaves, rebuild
+
+
 def ring_positions(offset: jax.Array, T: int, cap: int,
                    exec_mask: jax.Array | None) -> tuple[jax.Array, jax.Array]:
     """Absolute positions [B, cap] of ring slots after writing T new steps,
@@ -568,25 +596,29 @@ class StreamingTransformer:
 
         rope_offset = jnp.zeros((B,), jnp.int32)
 
+        layers_xs, rebuild = _split_q4_layers(params["layers"])
+
         def body(h, xs):
             kc = vc = None
             if cross is None:
-                pl = xs
+                pl, l = xs
             elif shared:
-                pl = xs
+                pl, l = xs
                 kc, vc = cross["k_cross"], cross["v_cross"]
             else:
-                pl, kc, vc = xs
+                pl, l, kc, vc = xs
+            pl = rebuild(pl, l)
             y = self._layer(pl, h, complete_kv=lambda kk, vv: (kk, vv, None, None),
                             mask=mask, rope_offset=rope_offset, widx=widx,
                             k_cross=kc, v_cross=vc,
                             xa_proj=xa_shared if shared else None)
             return y, None
 
+        larange = jnp.arange(c.num_layers)
         if cross is None or shared:
-            xs = params["layers"]
+            xs = (layers_xs, larange)
         else:
-            xs = (params["layers"], cross["k_cross"], cross["v_cross"])
+            xs = (layers_xs, larange, cross["k_cross"], cross["v_cross"])
         if c.remat:
             body = jax.checkpoint(
                 body,
@@ -639,6 +671,8 @@ class StreamingTransformer:
         int4_kv = c.kv_cache_dtype == "int4"
         quant_rows = _quant_rows_int4 if int4_kv else _quant_rows
 
+        layers_xs, rebuild = _split_q4_layers(params["layers"])
+
         def body(carry, xs):
             if int8_kv:
                 h, k_all, v_all, ks_all, vs_all = carry
@@ -651,6 +685,7 @@ class StreamingTransformer:
                 kx = vx = None
                 if has_cross:
                     kx, vx = state["k_cross"], state["v_cross"]
+            pl = rebuild(pl, l)
 
             def complete_kv(kk, vv):
                 nonlocal k_all, v_all
@@ -697,9 +732,9 @@ class StreamingTransformer:
 
         larange = jnp.arange(c.num_layers)
         if has_cross and not shared:
-            xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
+            xs = (layers_xs, larange, state["k_cross"], state["v_cross"])
         else:
-            xs = (params["layers"], larange)
+            xs = (layers_xs, larange)
         new_state = dict(state)
         if int8_kv:
             carry0 = (x, state["k"], state["v"], state["k_scale"], state["v_scale"])
@@ -761,6 +796,8 @@ class StreamingTransformer:
         k_all, v_all = state["k"], state["v"]
         ks_all, vs_all = state["k_scale"], state["v_scale"]
 
+        layers_xs, rebuild = _split_q4_layers(params["layers"])
+
         def body(h, xs):
             if has_cross and not shared:
                 pl_, l, kx, vx = xs
@@ -769,6 +806,7 @@ class StreamingTransformer:
                 kx = vx = None
                 if has_cross:
                     kx, vx = state["k_cross"], state["v_cross"]
+            pl_ = rebuild(pl_, l)
             ictx = {"layer": l, "k_all": k_all, "v_all": v_all,
                     "ks_all": ks_all, "vs_all": vs_all, "mask": mask,
                     "cur_valid": cur_valid, "cap": cap}
@@ -781,9 +819,9 @@ class StreamingTransformer:
 
         larange = jnp.arange(c.num_layers)
         if has_cross and not shared:
-            xs = (params["layers"], larange, state["k_cross"], state["v_cross"])
+            xs = (layers_xs, larange, state["k_cross"], state["v_cross"])
         else:
-            xs = (params["layers"], larange)
+            xs = (layers_xs, larange)
         x, cols = lax.scan(body, x, xs)
         kcols, vcols, kscols, vscols = cols  # [L, B, hd/2] / [L, B, H]
 

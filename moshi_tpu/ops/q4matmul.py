@@ -105,8 +105,83 @@ def q4gemm(x: jax.Array, q: jax.Array, scale: jax.Array, *,
     )(x, q, scale)
 
 
+def _kernel_stacked(n_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs):
+    del n_ref  # consumed by the index maps
+    j = pl.program_id(1)  # din tile index (innermost)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _, half, bo = q_ref.shape
+    w = pltpu.bitcast(q_ref[0], jnp.int4)
+    for g in range(2 * half // gs):
+        p = jax.lax.dot_general(
+            x_ref[:, g * gs:(g + 1) * gs], w[g * gs:(g + 1) * gs, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] += p * s_ref[0, g, 0, :][None, :]
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_out", "block_in", "interpret"))
+def q4gemm_stacked(x: jax.Array, q: jax.Array, scale: jax.Array,
+                   idx: jax.Array, *, block_out: int = 1024,
+                   block_in: int = 1024, interpret: bool = False) -> jax.Array:
+    """q4gemm over ONE member of a stacked weight: q [N, din/2, dout],
+    scale [N, din/gs, 1, dout], idx scalar int32 selecting the member.
+
+    The index rides scalar prefetch (index_map args: grid..., scalar_ref) so
+    the kernel DMAs blocks of the selected member straight out of the full
+    stack.  Slicing the member out first costs a full HBM copy per call —
+    a pallas operand cannot fuse a dynamic-slice (same lesson as the int4
+    KV cache, ops/int4_attention.py) — measured ~5 ms/frame on the 7B's
+    32-layer scan at B=1."""
+    B, din = x.shape
+    N, P2, dout = q.shape
+    assert 2 * P2 == din, (P2, din)
+    G = scale.shape[1]
+    gs = din // G
+    block_in = min(block_in, din)
+    block_out = min(block_out, dout)
+    assert din % block_in == 0 and block_in % gs == 0, (din, block_in, gs)
+    assert dout % block_out == 0, (dout, block_out)
+    gin = block_in // gs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(dout // block_out, din // block_in),
+        in_specs=[
+            pl.BlockSpec((B, block_in), lambda i, j, n: (0, j)),
+            pl.BlockSpec((1, block_in // 2, block_out),
+                         lambda i, j, n: (n[0], j, i)),
+            pl.BlockSpec((1, gin, 1, block_out),
+                         lambda i, j, n: (n[0], j, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((B, block_out), lambda i, j, n: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B, block_out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_stacked, gs=gs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, dout), x.dtype),
+        interpret=interpret,
+    )(idx.reshape(1).astype(jnp.int32), x, q, scale)
+
+
 def use_pallas() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+# Block-size limits used by wdot's dispatch (overridable via env for perf
+# experiments; defaults picked on-chip — see scripts/bench_b1_breakdown.py).
+def block_limits() -> tuple[int, int]:
+    import os
+    return (int(os.environ.get("MOSHI_Q4_BLOCK_IN", 1024)),
+            int(os.environ.get("MOSHI_Q4_BLOCK_OUT", 1024)))

@@ -42,7 +42,7 @@ def wdot(x, w):
 
     LoRAWeight leaves compute `wdot(x, stop_grad(base)) + (x@a)@b * scaling`
     (reference lora.py:116-118 with frozen_W)."""
-    from .quantize import QTensor4
+    from .quantize import QTensor4, QTensor4Ref
     from ..models.lora import LoRAWeight  # lazy: lora imports this module
     if isinstance(w, LoRAWeight):
         import jax
@@ -50,15 +50,31 @@ def wdot(x, w):
         y = wdot(x, base)
         delta = dot(dot(x, w.a.astype(x.dtype)), w.b.astype(x.dtype))
         return y + (w.scaling * delta).astype(y.dtype)
+    if isinstance(w, QTensor4Ref) and not w.lead:
+        from ..ops.q4matmul import q4gemm_stacked, use_pallas, block_limits
+        din, dout = w.shape
+        if use_pallas():
+            import math as _math
+            gs = din // w.scale.shape[-3]
+            lim_in, lim_out = block_limits()
+            bi = _largest_block(din, _math.lcm(gs, 128), lim_in)
+            bo = _largest_block(dout, 128, lim_out)
+            if bi is not None and bo is not None:
+                lead = x.shape[:-1]
+                y = q4gemm_stacked(x.reshape(-1, din), w.q, w.scale,
+                                   w.idx, block_in=bi, block_out=bo)
+                return y.reshape(*lead, dout)
+        return dot(x, w.astype(x.dtype))
     if isinstance(w, QTensor4):
-        from ..ops.q4matmul import q4gemm, use_pallas
+        from ..ops.q4matmul import q4gemm, use_pallas, block_limits
         din, dout = w.shape[-2:]
         if use_pallas() and w.q.ndim == 2:
             import math as _math
             gs = din // w.scale.shape[-3]
+            lim_in, lim_out = block_limits()
             # block_in must be a lane-aligned (128) multiple of the group size
-            bi = _largest_block(din, _math.lcm(gs, 128), 1024)
-            bo = _largest_block(dout, 128, 1024)
+            bi = _largest_block(din, _math.lcm(gs, 128), lim_in)
+            bo = _largest_block(dout, 128, lim_out)
             if bi is not None and bo is not None:
                 lead = x.shape[:-1]
                 y = q4gemm(x.reshape(-1, din), w.q, w.scale,

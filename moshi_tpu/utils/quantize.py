@@ -116,6 +116,67 @@ class QTensor4:
         return w.reshape(*lead, p2 * 2, dout)
 
 
+class QTensor4Ref:
+    """Lazy view selecting one member of a STACKED QTensor4 by a traced
+    index, without materializing the slice.
+
+    A pallas operand cannot fuse a dynamic-slice: feeding `stack[l]` to the
+    q4 kernel makes XLA copy the whole member out of HBM first (~100 MB/layer
+    on the 7B — ~5 ms/frame over the 32-layer scan at B=1, measured).  The
+    ref instead carries the full stack plus the member index; `wdot` routes
+    it to `q4gemm_stacked`, whose scalar-prefetch index maps DMA blocks of
+    the selected member directly (same lesson as the int4 KV cache,
+    ops/int4_attention.py).
+
+    q: [N, din/2, dout] (leading axes flattened); scale: [N, G, 1, dout];
+    idx: traced flat index; lead: remaining STATIC axes still to be indexed
+    (e.g. the per-step W axis) — `ref[i]` folds them into idx.
+    Not a pytree: built inside traces only (scan bodies), never stored.
+    """
+
+    def __init__(self, q: jax.Array, scale: jax.Array, idx, lead=()):
+        self.q, self.scale, self.idx, self.lead = q, scale, idx, tuple(lead)
+
+    @classmethod
+    def from_stack(cls, qt: QTensor4, idx):
+        """View member `idx` of the leading axis of a stacked QTensor4
+        (q [L, *lead, din/2, dout])."""
+        L, *lead, p2, dout = qt.q.shape
+        G = qt.scale.shape[-3]
+        n = 1
+        for s in lead:
+            n *= s
+        q3 = qt.q.reshape(L * n, p2, dout)
+        s4 = qt.scale.reshape(L * n, G, 1, dout)
+        return cls(q3, s4, idx * n, lead)
+
+    @property
+    def shape(self):
+        _, p2, dout = self.q.shape
+        return self.lead + (2 * p2, dout)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def __getitem__(self, i):
+        assert self.lead, "fully-indexed ref"
+        assert isinstance(i, int), i
+        stride = 1
+        for s in self.lead[1:]:
+            stride *= s
+        return QTensor4Ref(self.q, self.scale, self.idx + i * stride,
+                           self.lead[1:])
+
+    def astype(self, dtype):
+        """Materializing fallback (CPU/tests): dequantize the member."""
+        assert not self.lead, "index the lead axes first"
+        q = jax.lax.dynamic_index_in_dim(self.q, self.idx, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(self.scale, self.idx, 0,
+                                         keepdims=False)
+        return QTensor4(q, s).astype(dtype)
+
+
 def repack_legacy_q4(q: jax.Array, scale: jax.Array) -> QTensor4:
     """Convert a round-2 two-plane packed q4 leaf (q [..., in/(2*gs), gs,
     out], where packed byte i held logical position i low / i + din/2 high)

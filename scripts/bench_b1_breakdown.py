@@ -26,7 +26,7 @@ import sys
 import time
 
 
-def _build(weights: str, mimi_dtype: str):
+def _build(weights: str, mimi_dtype: str, context: int | None = None):
     import jax
     import jax.numpy as jnp
     from moshi_tpu.models.lm import LMModel
@@ -36,6 +36,9 @@ def _build(weights: str, mimi_dtype: str):
     from moshi_tpu.utils.quantize import quantize_lm_params
 
     config = lm_config_v0_1()
+    if context is not None:
+        from dataclasses import replace
+        config = replace(config, context=context)
     lm = LMModel(config)
     if weights == "bf16":
         shapes = jax.eval_shape(lambda k: lm.init_params(k, jnp.bfloat16),
@@ -62,7 +65,12 @@ def run_part(part: str, weights: str = "int4", mimi_dtype: str = "bf16",
     import jax.numpy as jnp
     import numpy as np
 
-    lm, lm_params, mimi, mimi_params, gen, md = _build(weights, mimi_dtype)
+    if part == "gemv":
+        return run_gemv(weights, steps, warmup)
+    context = 8 if part.endswith("_ctx8") else None
+    part = part.removesuffix("_ctx8")
+    lm, lm_params, mimi, mimi_params, gen, md = _build(weights, mimi_dtype,
+                                                       context)
     config = lm.config
     B = 1
     n_in = config.num_codebooks - config.dep_q - 1
@@ -143,6 +151,66 @@ def run_part(part: str, weights: str = "int4", mimi_dtype: str = "bf16",
     ms = (time.perf_counter() - t0) * 1000.0 / steps
     return {"part": part, "weights": weights, "mimi": mimi_dtype,
             "ms_per_frame": round(ms, 3)}
+
+
+def run_gemv(weights: str = "int4", steps: int = 100, warmup: int = 10,
+             B: int = 1) -> dict:
+    """Pure chained weight-read probe at exact 7B per-layer shapes: 32 x
+    (qkvo + gating linear_in/out) + text_linear, x fed forward so every
+    gemv depends on the previous one; one final sync.  Reports the
+    achieved HBM bandwidth over the packed weight bytes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moshi_tpu.utils.matmul import wdot
+    from moshi_tpu.utils.quantize import quantize_tensor, quantize_tensor4
+
+    d, ff_h, tc = 4096, 11264, 32768
+    L = 32
+
+    def q(shape):
+        w = jnp.zeros(shape, jnp.bfloat16)
+        if weights == "int4":
+            s = jax.eval_shape(quantize_tensor4, w)
+        elif weights == "int8":
+            s = jax.eval_shape(quantize_tensor, w)
+        else:
+            return w
+        return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), s)
+
+    params = {"layers": [{"qkvo": q((d, 4 * d)),
+                          "lin_in": q((d, 2 * ff_h)),
+                          "lin_out": q((ff_h, d))} for _ in range(L)],
+              "text": q((d, tc))}
+    nbytes_bf16 = 2 * (L * (d * 4 * d + d * 2 * ff_h + ff_h * d) + d * tc)
+    nbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                 for x in jax.tree.leaves(params))
+
+    @jax.jit
+    def pass_(params, x):
+        for pl_ in params["layers"]:
+            q = wdot(x, pl_["qkvo"])
+            x = q[:, :d] * 0.999 + x * 1e-3
+            u = wdot(x, pl_["lin_in"])
+            u = u[:, :ff_h] * jax.nn.sigmoid(u[:, ff_h:])
+            x = wdot(u, pl_["lin_out"]) * 0.03 + x
+        t = wdot(x, params["text"])
+        return x + t[:, :d] * 1e-4
+
+    x = jnp.ones((B, d), jnp.bfloat16)
+    for _ in range(warmup):
+        x = pass_(params, x)
+    np.asarray(x)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = pass_(params, x)
+    np.asarray(x)
+    ms = (time.perf_counter() - t0) * 1000.0 / steps
+    return {"part": "gemv", "weights": weights,
+            "ms_per_frame": round(ms, 3),
+            "weight_gb": round(nbytes / 1e9, 2),
+            "gbps": round(nbytes / ms / 1e6, 1),
+            "bf16_equiv_gb": round(nbytes_bf16 / 1e9, 2)}
 
 
 def sweep(weights="int4", mimi_dtype="bf16"):

@@ -167,3 +167,83 @@ def test_legacy_q4_repack():
     np.testing.assert_array_equal(np.asarray(migrated.q), np.asarray(qt.q))
     np.testing.assert_allclose(np.asarray(migrated.astype(jnp.float32)),
                                np.asarray(deq), rtol=1e-6)
+
+
+def test_q4gemm_stacked_matches_member():
+    """q4gemm_stacked (scalar-prefetch member indexing, interpret mode) ==
+    q4gemm on the sliced member, for every member."""
+    from moshi_tpu.utils.quantize import quantize_tensor4
+    from moshi_tpu.ops.q4matmul import q4gemm, q4gemm_stacked
+
+    rs = np.random.RandomState(1)
+    ws = jnp.asarray(rs.randn(3, 256, 128).astype(np.float32) * 0.1)
+    qt = quantize_tensor4(ws, group_size=32)
+    x = jnp.asarray(rs.randn(2, 256).astype(np.float32), jnp.bfloat16)
+    for n in range(3):
+        a = q4gemm(x, qt.q[n], qt.scale[n], block_in=128, block_out=128,
+                   interpret=True)
+        b = q4gemm_stacked(x, qt.q, qt.scale, jnp.int32(n), block_in=128,
+                           block_out=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_qtensor4_ref_view():
+    """QTensor4Ref indexes a stacked q4 leaf lazily: shape bookkeeping, lead
+    folding ([W] axis), and the materializing astype fallback must all agree
+    with plain slicing; wdot on a ref == wdot on the slice (CPU path)."""
+    from moshi_tpu.utils.quantize import quantize_tensor4, QTensor4Ref
+    from moshi_tpu.utils.matmul import wdot
+
+    rs = np.random.RandomState(2)
+    # [L=3, W=2, din=128, dout=64] per-layer per-step stack
+    ws = jnp.asarray(rs.randn(3, 2, 128, 64).astype(np.float32) * 0.1)
+    qt = quantize_tensor4(ws, group_size=32)
+    x = jnp.asarray(rs.randn(5, 128).astype(np.float32))
+
+    for layer in range(3):
+        ref = QTensor4Ref.from_stack(qt, jnp.int32(layer))
+        assert ref.shape == (2, 128, 64)
+        for w_idx in range(2):
+            r2 = ref[w_idx]
+            assert r2.shape == (128, 64)
+            want = np.asarray(qt[layer][w_idx].astype(jnp.float32))
+            got = np.asarray(r2.astype(jnp.float32))
+            np.testing.assert_array_equal(got, want)
+            np.testing.assert_allclose(np.asarray(wdot(x, r2)),
+                                       np.asarray(wdot(x, qt[layer][w_idx])),
+                                       rtol=1e-5)
+
+
+def test_q4_lm_step_stacked_vs_unstacked():
+    """The layer-scan q4 split (_split_q4_layers + QTensor4Ref) must not
+    change a quantized LM's greedy stream (CPU fallback materializes the
+    same slices, so the outputs are bit-identical)."""
+    import moshi_tpu.modules.transformer as mtr
+
+    cfg = tiny_lm_config()
+    lm = LMModel(cfg)
+    params = quantize_lm_params(
+        lm.init_params(jax.random.PRNGKey(0), jnp.float32), min_size=1,
+        mode="int4", group_size=8)
+    gen = LMGen(lm, LMGenConfig(use_sampling=False))
+    n_in = cfg.num_codebooks - cfg.dep_q - 1
+    toks = jnp.zeros((1, n_in, 1), jnp.int32)
+
+    def stream():
+        st = gen.init_state(1, jax.random.PRNGKey(1), dtype=jnp.float32)
+        outs = []
+        for _ in range(cfg.max_delay + 3):
+            out, st = gen.step(params, st, toks)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=-1)
+
+    a = stream()
+    # force the identity path (as if no q4 leaves) and compare
+    orig = mtr._split_q4_layers
+    mtr._split_q4_layers = lambda layers: (layers, lambda xs, l: xs)
+    try:
+        b = stream()
+    finally:
+        mtr._split_q4_layers = orig
+    np.testing.assert_array_equal(a, b)
