@@ -180,8 +180,11 @@ def use_pallas() -> bool:
 
 
 # Block-size limits used by wdot's dispatch (overridable via env for perf
-# experiments; defaults picked on-chip — see scripts/bench_b1_breakdown.py).
+# experiments).  Defaults measured on-chip (v5e, 7B gemv chain at B=1,
+# scripts/bench_b1_breakdown.py gemv): (1024, 1024) 537 GB/s;
+# (2048, 2048) 654; (1024, 4096) 660 <- default; (4096, 4096) exceeds the
+# 16 MB scoped-VMEM limit.
 def block_limits() -> tuple[int, int]:
     import os
     return (int(os.environ.get("MOSHI_Q4_BLOCK_IN", 1024)),
-            int(os.environ.get("MOSHI_Q4_BLOCK_OUT", 1024)))
+            int(os.environ.get("MOSHI_Q4_BLOCK_OUT", 4096)))
