@@ -152,8 +152,23 @@ class BatchedAsrState:
             self.slot_resumed.pop(slot, None)
             OPEN_CHANNELS.dec()
 
-    def feed_pcm(self, slot: int, pcm: np.ndarray):
-        self.slot_pcm[slot] = np.concatenate([self.slot_pcm[slot], pcm])
+    # Backlog cap (hostile-input bound): a client pumping audio faster than
+    # real time would otherwise grow its slot buffer without limit.  The
+    # reference reports `buffered_pcm` and relies on well-behaved clients;
+    # here excess past the cap is dropped and the handler tells the client.
+    MAX_BUFFERED_SECONDS = 30.0
+
+    def feed_pcm(self, slot: int, pcm: np.ndarray) -> bool:
+        """Append audio to the slot's backlog.  Returns False (dropping the
+        excess) once the backlog exceeds MAX_BUFFERED_SECONDS."""
+        cap = int(self.MAX_BUFFERED_SECONDS * self.asr.mimi.sample_rate)
+        buf = self.slot_pcm[slot]
+        if buf.shape[-1] + pcm.shape[-1] > cap:
+            pcm = pcm[:max(0, cap - buf.shape[-1])]
+            self.slot_pcm[slot] = np.concatenate([buf, pcm])
+            return False
+        self.slot_pcm[slot] = np.concatenate([buf, pcm])
+        return True
 
     def add_marker(self, slot: int, marker_id: int):
         """Register a time-alignment marker: it is echoed back once all
@@ -295,36 +310,54 @@ async def handle_asr_socket(request, state: BatchedAsrState):
         return np.frombuffer(reader.append_bytes(data), np.float32)
 
     send_task = asyncio.create_task(sender())
+    backlog_warned = False
     try:
         async for message in ws:
             if message.type != WSMsgType.BINARY or not message.data:
                 continue
             data = message.data
-            kind = data[0]
-            if kind == 1:  # legacy framing: ogg-opus audio
-                pcm = opus_pcm(data[1:])
-            elif kind == 8:  # legacy framing: raw f32le pcm
-                pcm = np.frombuffer(data[1:], np.float32)
-            else:
-                try:
-                    msg = _unpackb(data)
-                    mtype = msg.get("type")
-                except Exception:
-                    continue  # unknown messages are discarded (protocol.md:32)
-                if mtype == "Init":
-                    await ws.send_bytes(_packb({"type": "Ready"}))
-                    continue
-                if mtype == "Marker":
-                    state.add_marker(slot, msg["id"])
-                    continue
-                if mtype == "Audio":
-                    pcm = np.asarray(msg["pcm"], np.float32)
-                elif mtype == "OggOpus":
-                    pcm = opus_pcm(msg["data"])
+            # Hostile-input isolation: a malformed message (bad msgpack
+            # field types, truncated payloads, non-1-D pcm, ...) earns the
+            # offending client an Error message but must never kill the
+            # handler mid-stream, leak the slot, or reach the shared batch
+            # loop (the rust server gets this from typed rmp_serde decode,
+            # asr.rs:15-33).
+            try:
+                kind = data[0]
+                if kind == 1:  # legacy framing: ogg-opus audio
+                    pcm = opus_pcm(data[1:])
+                elif kind == 8:  # legacy framing: raw f32le pcm
+                    pcm = np.frombuffer(
+                        data[1:len(data) - (len(data) - 1) % 4], np.float32)
                 else:
-                    continue
+                    try:
+                        msg = _unpackb(data)
+                        mtype = msg.get("type")
+                    except Exception:
+                        continue  # unknown msgs are discarded (protocol.md:32)
+                    if mtype == "Init":
+                        await ws.send_bytes(_packb({"type": "Ready"}))
+                        continue
+                    if mtype == "Marker":
+                        state.add_marker(slot, int(msg["id"]))
+                        continue
+                    if mtype == "Audio":
+                        pcm = np.asarray(msg["pcm"], np.float32).reshape(-1)
+                    elif mtype == "OggOpus":
+                        pcm = opus_pcm(msg["data"])
+                    else:
+                        continue
+            except Exception as e:
+                await ws.send_bytes(_packb(
+                    {"type": "Error", "message": f"bad message: {e}"}))
+                continue
             if pcm.size:
-                state.feed_pcm(slot, pcm)
+                if not state.feed_pcm(slot, pcm) and not backlog_warned:
+                    backlog_warned = True
+                    await ws.send_bytes(_packb(
+                        {"type": "Error",
+                         "message": "audio backlog cap reached; "
+                                    "excess dropped"}))
     finally:
         send_task.cancel()
         await state.release_slot(slot)

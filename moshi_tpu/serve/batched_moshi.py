@@ -429,8 +429,14 @@ async def _chat_loop(ws, state, slot, reader, writer):
             if kind == proto.MT_AUDIO:
                 pcm = np.frombuffer(reader.append_bytes(data[1:]), np.float32)
                 if pcm.size and not paused:
-                    state.slot_pcm[slot] = np.concatenate(
-                        [state.slot_pcm[slot], pcm])
+                    # backlog cap (hostile-input bound): a client pumping
+                    # valid opus faster than real time must not grow the
+                    # slot buffer without limit
+                    cap = 30 * state.mimi.sample_rate
+                    buf = state.slot_pcm[slot]
+                    if buf.shape[-1] + pcm.size > cap:
+                        pcm = pcm[:max(0, cap - buf.shape[-1])]
+                    state.slot_pcm[slot] = np.concatenate([buf, pcm])
             elif kind == proto.MT_CONTROL and len(data) >= 2:
                 ctrl = data[1]
                 if ctrl == proto.CTRL_PAUSE:

@@ -481,15 +481,22 @@ async def handle_batched_tts_socket(request, state: BatchedTTSState):
         async for message in ws:
             if message.type != WSMsgType.TEXT:
                 continue
-            msg = json.loads(message.data)
-            if msg.get("type") == "Text":
-                state.feed_words(slot, [msg["text"]])
-            elif msg.get("type") == "Voice":
-                emb = np.asarray(msg["embeddings"],
-                                 np.float32).reshape(msg["shape"])
-                state.set_slot_voice(slot, emb)
-            elif msg.get("type") == "Eos":
-                state.feed_eos(slot)
+            try:
+                msg = json.loads(message.data)
+                mtype = msg.get("type")
+                if mtype == "Text":
+                    state.feed_words(slot, [str(msg["text"])])
+                elif mtype == "Voice":
+                    emb = np.asarray(msg["embeddings"],
+                                     np.float32).reshape(msg["shape"])
+                    state.set_slot_voice(slot, emb)
+                elif mtype == "Eos":
+                    state.feed_eos(slot)
+            except Exception as e:
+                # one bad message must not kill the session (or reach the
+                # shared batch loop)
+                await ws.send_str(json.dumps(
+                    {"type": "Error", "message": f"bad message: {e}"}))
 
     recv_task = asyncio.create_task(receiver())
     try:

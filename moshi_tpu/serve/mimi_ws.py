@@ -28,20 +28,35 @@ class MimiWsState:
                 "buf": np.zeros((0,), np.float32)}
 
     def encode_pcm(self, sess, pcm: np.ndarray) -> np.ndarray | None:
+        # One fixed-shape [1, 1, frame_size] step per frame: a single jitted
+        # program regardless of how the client chunks its audio.  Encoding
+        # n frames in one [1, 1, n*fs] call would compile a fresh XLA
+        # program for every distinct n — a hostile client could force
+        # unbounded recompiles (seconds each) just by varying payload sizes.
         fs = self.mimi.frame_size
         sess["buf"] = np.concatenate([sess["buf"], pcm])
         n = sess["buf"].shape[-1] // fs
         if n == 0:
             return None
         chunk, sess["buf"] = sess["buf"][:n * fs], sess["buf"][n * fs:]
-        codes, sess["enc"] = self._encode(self.params, sess["enc"],
-                                          jnp.asarray(chunk)[None, None])
-        return np.asarray(codes)[0]  # [K, n]
+        outs = []
+        for i in range(n):
+            codes, sess["enc"] = self._encode(
+                self.params, sess["enc"],
+                jnp.asarray(chunk[i * fs:(i + 1) * fs])[None, None])
+            outs.append(np.asarray(codes)[0])
+        return np.concatenate(outs, axis=-1)  # [K, n]
 
     def decode_codes(self, sess, codes: np.ndarray) -> np.ndarray:
-        pcm, sess["dec"] = self._decode(self.params, sess["dec"],
-                                        jnp.asarray(codes)[None])
-        return np.asarray(pcm)[0, 0]
+        # fixed-shape [1, K, 1] steps for the same reason as encode_pcm
+        if codes.shape[-1] == 0:
+            return np.zeros((0,), np.float32)
+        outs = []
+        for i in range(codes.shape[-1]):
+            pcm, sess["dec"] = self._decode(self.params, sess["dec"],
+                                            jnp.asarray(codes[:, i:i + 1])[None])
+            outs.append(np.asarray(pcm)[0, 0])
+        return np.concatenate(outs, axis=-1)
 
 
 async def handle_mimi_socket(request, state: MimiWsState):
@@ -57,13 +72,17 @@ async def handle_mimi_socket(request, state: MimiWsState):
         kind = message.data[0]
         payload = message.data[1:]
         if kind == 1:
-            pcm = np.frombuffer(payload, np.float32)
+            # tolerate ragged payloads: truncate to whole f32 samples
+            pcm = np.frombuffer(payload[:len(payload) - len(payload) % 4],
+                                np.float32)
             codes = state.encode_pcm(sess, pcm)
             if codes is not None:
                 await ws.send_bytes(b"\x09" + codes.astype(np.int32).tobytes())
         elif kind == 9:
-            flat = np.frombuffer(payload, np.int32)
-            assert flat.size % K == 0, (flat.size, K)
+            flat = np.frombuffer(payload[:len(payload) - len(payload) % 4],
+                                 np.int32)
+            if flat.size == 0 or flat.size % K:
+                continue  # malformed codes payload: discarded
             codes = flat.reshape(K, -1)
             pcm = state.decode_codes(sess, codes)
             await ws.send_bytes(b"\x01" + pcm.astype(np.float32).tobytes())
@@ -210,8 +229,14 @@ class MimiRoom:
         self.producer_active = False
         self.pcm_pending = np.zeros((0,), np.float32)
 
+    # per-listener fanout backlog cap: a stalled listener must not grow its
+    # queue without bound while the producer keeps streaming
+    MAX_QUEUED = 512
+
     def broadcast(self, data: bytes):
         for q in list(self.listeners):
+            if q.qsize() >= self.MAX_QUEUED:
+                q.get_nowait()  # drop oldest; the stream stays live
             q.put_nowait(data)
 
 
@@ -252,8 +277,9 @@ async def handle_room_send(request, rooms: MimiRooms):
             if kind == 2:          # Text: forward directly (mimi.rs:181-183)
                 room.broadcast(bytes(message.data))
             elif kind == 9:        # Codes -> decode -> pcm chunks
-                flat = np.frombuffer(payload, np.uint32).astype(np.int32)
-                if flat.size % K:
+                flat = np.frombuffer(payload[:len(payload) - len(payload) % 4],
+                                     np.uint32).astype(np.int32)
+                if flat.size == 0 or flat.size % K:
                     continue
                 codes = flat.reshape(-1, K).T            # [K, n]
                 pcm = state.decode_codes(room.sess, codes)

@@ -194,26 +194,41 @@ async def handle_tts_socket(request, make_streamer):
     recv_done = asyncio.Event()
 
     async def receiver():
-        async for message in ws:
-            if message.type != WSMsgType.TEXT:
-                continue
-            msg = json.loads(message.data)
-            if msg.get("type") == "Text":
-                streamer.feed_words([msg["text"]])
-            elif msg.get("type") == "Voice":
-                emb = np.asarray(msg["embeddings"],
-                                 np.float32).reshape(msg["shape"])
-                streamer.set_voice(emb)
-            elif msg.get("type") == "Eos":
-                streamer.feed_eos()
-        recv_done.set()
+        # recv_done MUST be set on every exit (including a crash): the
+        # generation loop below treats "receiver finished while starved" as
+        # EOS — without it a malformed message would leave the session
+        # spinning forever after the client disconnects.
+        try:
+            async for message in ws:
+                if message.type != WSMsgType.TEXT:
+                    continue
+                try:
+                    msg = json.loads(message.data)
+                    mtype = msg.get("type")
+                    if mtype == "Text":
+                        streamer.feed_words([str(msg["text"])])
+                    elif mtype == "Voice":
+                        emb = np.asarray(msg["embeddings"],
+                                         np.float32).reshape(msg["shape"])
+                        streamer.set_voice(emb)
+                    elif mtype == "Eos":
+                        streamer.feed_eos()
+                except Exception as e:
+                    # one bad message must not kill the session
+                    await ws.send_str(json.dumps(
+                        {"type": "Error", "message": f"bad message: {e}"}))
+        finally:
+            recv_done.set()
 
     recv_task = asyncio.create_task(receiver())
     try:
         while not streamer.finished:
+            # receiver done == the socket is closed (async-for only ends on
+            # close): no more words will ever arrive and nobody is listening
+            # — wrap the generation up instead of spinning forever
+            if recv_done.is_set() and not streamer.eos:
+                streamer.feed_eos()
             if streamer.starved:
-                if recv_done.is_set():
-                    streamer.feed_eos()
                 await asyncio.sleep(0.01)
                 continue
             pcm, events = streamer.step()

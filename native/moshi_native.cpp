@@ -93,10 +93,36 @@ struct OggReader {
   // pages are reassembled)
   std::string partial;
   std::deque<std::string> packets;
+  // Hostile-input bound: a stream of continuation pages whose lacing values
+  // are all 255 never terminates a packet, so `partial` would grow without
+  // bound (one byte per byte fed).  Real opus packets are <= ~1500 bytes;
+  // anything past this cap is a malformed/malicious stream — drop the
+  // reassembly and resync on the next packet boundary.
+  static const size_t kMaxPacket = 256 * 1024;
 
   void feed(const char *data, size_t len) {
     buf.append(data, len);
     while (try_page()) {}
+  }
+
+  // Does a complete CRC-valid page start at `at`?  (pure check, no consume)
+  bool valid_page_at(size_t at, size_t *extent) {
+    if (buf.size() < at + 27) return false;
+    uint8_t nsegs = (uint8_t)buf[at + 26];
+    if (buf.size() < at + 27u + nsegs) return false;
+    size_t body = 0;
+    for (size_t i = 0; i < nsegs; i++) body += (uint8_t)buf[at + 27 + i];
+    if (buf.size() < at + 27u + nsegs + body) return false;
+    size_t len = 27 + nsegs + body;
+    std::string zeroed = buf.substr(at, len);
+    uint32_t want = (uint8_t)zeroed[22] | ((uint8_t)zeroed[23] << 8) |
+                    ((uint32_t)(uint8_t)zeroed[24] << 16) |
+                    ((uint32_t)(uint8_t)zeroed[25] << 24);
+    zeroed[22] = zeroed[23] = zeroed[24] = zeroed[25] = 0;
+    if (ogg_crc((const uint8_t *)zeroed.data(), zeroed.size()) != want)
+      return false;
+    *extent = len;
+    return true;
   }
 
   bool try_page() {
@@ -109,10 +135,30 @@ struct OggReader {
     if (pos > 0) buf.erase(0, pos);
     if (buf.size() < 27) return false;
     uint8_t nsegs = (uint8_t)buf[26];
-    if (buf.size() < 27u + nsegs) return false;
+    bool incomplete = buf.size() < 27u + nsegs;
     size_t body = 0;
-    for (size_t i = 0; i < nsegs; i++) body += (uint8_t)buf[27 + i];
-    if (buf.size() < 27u + nsegs + body) return false;
+    if (!incomplete) {
+      for (size_t i = 0; i < nsegs; i++) body += (uint8_t)buf[27 + i];
+      incomplete = buf.size() < 27u + nsegs + body;
+    }
+    if (incomplete) {
+      // Hostile-input fix: a bogus header claiming a body that never
+      // arrives would otherwise dam every real page queued behind it
+      // forever (one 31-byte blob of garbage silences the stream).  Two
+      // real pages cannot overlap, so if a LATER candidate already forms
+      // a complete CRC-valid page, the leading candidate was garbage —
+      // skip to the valid one.  (CRC makes a false positive inside a
+      // still-incomplete real page a 2^-32 coincidence.)
+      size_t alt = buf.find("OggS", 1), extent;
+      while (alt != std::string::npos) {
+        if (valid_page_at(alt, &extent)) {
+          buf.erase(0, alt);
+          return true;  // reprocess from the valid candidate
+        }
+        alt = buf.find("OggS", alt + 1);
+      }
+      return false;
+    }
     // verify CRC
     std::string page = buf.substr(0, 27 + nsegs + body);
     std::string zeroed = page;
@@ -132,10 +178,11 @@ struct OggReader {
       partial.append(page, off, l);
       off += l;
       if (l < 255) {
-        packets.push_back(partial);
+        if (partial.size() <= kMaxPacket) packets.push_back(partial);
         partial.clear();
       }
     }
+    if (partial.size() > kMaxPacket) partial.clear();
     buf.erase(0, 27 + nsegs + body);
     return true;
   }
