@@ -165,3 +165,148 @@ def test_remat_gradients_match():
                                rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g0, g1)
+
+
+# ------------------------------------------------------- config-driven trainer
+def _tiny_lm_train_cfg(**over):
+    cfg = tiny_lm_config()
+    d = {
+        "target": "lm",
+        "lm_config": dict(
+            dim=cfg.dim, num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+            hidden_scale=cfg.hidden_scale, n_q=cfg.n_q, dep_q=cfg.dep_q,
+            card=cfg.card, text_card=cfg.text_card, norm=cfg.norm,
+            context=cfg.context, max_period=cfg.max_period, gating=cfg.gating,
+            positional_embedding=cfg.positional_embedding,
+            depformer_dim=cfg.depformer_dim,
+            depformer_num_heads=cfg.depformer_num_heads,
+            depformer_num_layers=cfg.depformer_num_layers,
+            depformer_dim_feedforward=cfg.depformer_dim_feedforward,
+            depformer_gating=cfg.depformer_gating,
+            depformer_pos_emb=cfg.depformer_pos_emb,
+            depformer_multi_linear=cfg.depformer_multi_linear,
+            depformer_weights_per_step=cfg.depformer_weights_per_step,
+            delays=list(cfg.delays)),
+        "optimizer": {"lr": 3e-3, "schedule": "cosine", "warmup_steps": 5,
+                      "grad_clip": 1.0},
+        "steps": 60, "batch_size": 2, "seq_len": 8, "log_every": 0,
+    }
+    d.update(over)
+    return d
+
+
+def _tiny_mimi_train_cfg(**over):
+    d = {
+        "target": "mimi",
+        "mimi_config": {
+            "sample_rate": 1200, "channels": 1, "frame_rate": 12.5,
+            "seanet": dict(dimension=32, n_filters=4, n_residual_layers=1,
+                           ratios=[4, 3, 2], kernel_size=7,
+                           residual_kernel_size=3, last_kernel_size=3,
+                           dilation_base=2, compress=2, pad_mode="constant"),
+            "transformer": dict(d_model=32, num_heads=2, num_layers=2,
+                                dim_feedforward=64, causal=True, context=25,
+                                positional_embedding="rope", gating="none",
+                                norm="layer_norm", layer_scale=0.01),
+            "quantizer": dict(dimension=16, input_dimension=32,
+                              output_dimension=32, n_q=8, bins=32),
+        },
+        "num_codebooks": 4,
+        "optimizer": {"lr": 1e-3, "grad_clip": 1.0},
+        "steps": 40, "batch_size": 2, "seq_len": 4, "log_every": 0,
+    }
+    d.update(over)
+    return d
+
+
+def test_config_trainer_overfits_tiny_lm():
+    """The config-driven CLI path (cosine schedule + warmup + clipping +
+    grad accumulation) overfits a tiny LM on a repeated batch to ~zero
+    loss (VERDICT r3 item 8)."""
+    import json
+    from moshi_tpu.train import run_training
+
+    losses = []
+
+    def log(line):
+        d = json.loads(line)
+        if "loss" in d:
+            losses.append(d["loss"])
+
+    out = run_training(_tiny_lm_train_cfg(
+        log_every=10, optimizer={"lr": 3e-3, "schedule": "cosine",
+                                 "warmup_steps": 5, "grad_clip": 1.0,
+                                 "accum_steps": 2}), log=log)
+    assert np.isfinite(losses).all()
+    assert out["loss"] < 0.35, losses
+    assert out["loss"] < losses[0] * 0.1, losses
+
+
+def test_config_trainer_overfits_tiny_mimi():
+    """The same CLI covers the Mimi codec: reconstruction + EMA-RVQ loss
+    drops steeply on a repeated batch, codebooks stay healthy (entropy),
+    and the trained params round-trip into a working codec."""
+    import json
+    from moshi_tpu.train import run_training
+
+    losses = []
+
+    def log(line):
+        d = json.loads(line)
+        if "loss" in d:
+            losses.append(d["loss"])
+
+    cfg = _tiny_mimi_train_cfg(log_every=10)
+    out = run_training(cfg, log=log)
+    assert np.isfinite(losses).all()
+    assert out["loss"] < losses[0] * 0.6, losses
+    assert out["metrics"]["entropy"] > 0.5  # codebooks in use, not collapsed
+    # trained params (EMA codebooks synced back) drive the inference codec
+    from moshi_tpu.models.mimi import MimiModel
+    from moshi_tpu.models.loaders import mimi_config_from_dict
+    mimi = MimiModel(mimi_config_from_dict(cfg["mimi_config"], 4))
+    pcm = jnp.asarray(np.random.RandomState(0).randn(
+        1, 1, 4 * mimi.frame_size).astype(np.float32) * 0.3)
+    codes = mimi.encode(out["params"], pcm)
+    audio = mimi.decode(out["params"], codes)
+    assert audio.shape[0] == 1 and np.isfinite(np.asarray(audio)).all()
+    assert (np.asarray(codes) >= 0).all()
+    assert (np.asarray(codes) < 32).all()
+
+
+def test_config_trainer_sharded_matches_single_device():
+    """dp=2-sharded training over the virtual mesh converges to the same
+    params as single-device (GSPMD psum == single-device reduction)."""
+    from moshi_tpu.train import run_training
+
+    cfg = _tiny_lm_train_cfg(steps=8)
+    single = run_training(cfg)
+    sharded = run_training({**cfg, "mesh": {"dp": 2}})
+    np.testing.assert_allclose(single["loss"], sharded["loss"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(single["params"]),
+                    jax.tree.leaves(sharded["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_config_trainer_cli_and_resume(tmp_path):
+    """main(--config) runs end-to-end, writes checkpoints, and --resume
+    continues from them (same final loss as an uninterrupted run)."""
+    import json
+    from moshi_tpu.train import main, run_training
+
+    cfg = _tiny_lm_train_cfg(steps=6)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_dir = tmp_path / "ckpt"
+
+    full = run_training(cfg)
+
+    main(["--config", str(cfg_path), "--steps", "3",
+          "--out-dir", str(out_dir)])
+    ckpts = sorted(out_dir.glob("train-*.safetensors"))
+    assert ckpts, list(out_dir.iterdir())
+    resumed = run_training({**cfg, "resume": str(ckpts[-1])})
+    np.testing.assert_allclose(full["loss"], resumed["loss"],
+                               rtol=1e-5, atol=1e-6)
