@@ -47,6 +47,12 @@ def _flatten(tree, prefix=""):
     return out
 
 
+def flatten_tree(tree: dict) -> dict:
+    """Public: tree (incl. QTensor/QTensor4/LoRAWeight leaves) -> flat
+    {'/'-joined path: array} dict, the on-disk/wire encoding."""
+    return _flatten(tree)
+
+
 def save_params(path: str | Path, params: dict):
     from safetensors.flax import save_file
     flat = _flatten(params)
@@ -55,8 +61,11 @@ def save_params(path: str | Path, params: dict):
 
 def load_params(path: str | Path) -> dict:
     from .loaders import load_safetensors
-    flat = load_safetensors(path)
+    return unflatten_tree(load_safetensors(path))
 
+
+def unflatten_tree(flat: dict) -> dict:
+    """Public inverse of flatten_tree."""
     root: dict = {}
     lists: dict = {}
     qts: dict = {}

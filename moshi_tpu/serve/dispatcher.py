@@ -117,6 +117,45 @@ class TicketQueue:
                 "worker_addr": None, "current_position": str(ahead)}
 
 
+class SnapshotVault:
+    """Fleet-level session-snapshot store for cross-worker migration
+    (beyond the reference, which scales only by whole replicas —
+    moshi-server/src/main.rs:293-302).  Workers push serialized session
+    snapshots here (periodically during live sessions, and at disconnect);
+    when a worker dies, the client re-queues through check_user, lands on a
+    different worker, and that worker pulls the snapshot by resume_id.
+    Entries are opaque bytes (serialize_snapshot blobs), TTL'd and
+    size-capped; access requires the shared fleet auth token."""
+
+    def __init__(self, ttl: float = 120.0, cap_bytes: int = 2 << 30):
+        self.ttl = ttl
+        self.cap_bytes = cap_bytes
+        self._items: dict[str, tuple[float, bytes]] = {}  # rid -> (exp, blob)
+
+    def _sweep(self):
+        now = time.time()
+        for k in [k for k, (exp, _) in self._items.items() if now > exp]:
+            del self._items[k]
+        while sum(len(b) for _, b in self._items.values()) > self.cap_bytes \
+                and self._items:
+            del self._items[next(iter(self._items))]
+
+    def put(self, rid: str, blob: bytes):
+        self._sweep()
+        self._items[rid] = (time.time() + self.ttl, blob)
+
+    def take(self, rid: str) -> bytes | None:
+        """One-shot, like SnapshotStore.take: streaming state must resume
+        exactly once (a second taker would fork the session)."""
+        self._sweep()
+        item = self._items.pop(rid, None)
+        return item[1] if item else None
+
+    def __len__(self):
+        self._sweep()
+        return len(self._items)
+
+
 class Dispatcher:
     """FIFO ticket queue over a worker pool (transport-independent core)."""
 
@@ -178,6 +217,39 @@ async def poll_workers(workers: list[Worker], interval: float = 2.0):
             await asyncio.sleep(interval)
 
 
+def add_vault_routes(app, vault: SnapshotVault, auth: str):
+    """POST /snapshot/{rid} (body = blob) and GET /snapshot/{rid}, both
+    requiring the shared fleet token in X-Fleet-Auth."""
+    import hmac
+    from aiohttp import web
+
+    def authed(request) -> bool:
+        got = request.headers.get("X-Fleet-Auth", "")
+        return bool(auth) and hmac.compare_digest(got, auth)
+
+    async def push(request):
+        if not authed(request):
+            return web.Response(status=403, text="bad fleet auth")
+        rid = request.match_info["rid"]
+        blob = await request.read()
+        if not blob:
+            return web.Response(status=400, text="empty snapshot")
+        vault.put(rid, blob)
+        return web.json_response({"ok": True, "bytes": len(blob)})
+
+    async def pull(request):
+        if not authed(request):
+            return web.Response(status=403, text="bad fleet auth")
+        blob = vault.take(request.match_info["rid"])
+        if blob is None:
+            return web.Response(status=404, text="no snapshot")
+        return web.Response(body=blob,
+                            content_type="application/octet-stream")
+
+    app.router.add_post("/snapshot/{rid}", push)
+    app.router.add_get("/snapshot/{rid}", pull)
+
+
 def add_routes(app, disp: Dispatcher):
     from aiohttp import web
 
@@ -222,6 +294,12 @@ def main():
                         help="ws address + session capacity, repeatable")
     parser.add_argument("--poll", type=float, default=2.0)
     parser.add_argument("--ticket-ttl", type=float, default=30.0)
+    parser.add_argument("--fleet-auth", default=None,
+                        help="shared secret enabling the cross-worker "
+                             "session-snapshot vault (workers push live "
+                             "snapshots; a replacement worker pulls them "
+                             "by resume_id)")
+    parser.add_argument("--snapshot-ttl", type=float, default=120.0)
     args = parser.parse_args()
 
     workers = []
@@ -230,8 +308,11 @@ def main():
         workers.append(Worker(addr, int(cap or "1")))
     disp = Dispatcher(workers, ttl=args.ticket_ttl)
 
-    app = web.Application()
+    app = web.Application(client_max_size=4 << 30)
     add_routes(app, disp)
+    if args.fleet_auth:
+        add_vault_routes(app, SnapshotVault(ttl=args.snapshot_ttl),
+                         args.fleet_auth)
 
     async def on_startup(app_):
         app_["poll_task"] = asyncio.create_task(

@@ -49,7 +49,9 @@ class ServerState:
     def __init__(self, checkpoint_info: CheckpointInfo, mimi, mimi_params,
                  lm, lm_params, text_tokenizer, cfg_coef: float = 1.0,
                  rng_seed: int = 0, log_dir: str | None = None,
-                 session_timeout: float = 360.0, mesh=None, **lm_gen_kwargs):
+                 session_timeout: float = 360.0, mesh=None,
+                 vault_url: str | None = None, fleet_auth: str | None = None,
+                 replicate_every: int = 125, **lm_gen_kwargs):
         self.info = checkpoint_info
         self.mimi, self.mimi_params = mimi, mimi_params
         self.lm, self.lm_params = lm, lm_params
@@ -115,6 +117,17 @@ class ServerState:
         from .snapshots import SnapshotStore
         self._snapshots = SnapshotStore(ttl=60.0, cap=4)
         self._resume_id: str | None = None
+        # cross-worker migration (fleet dispatcher SnapshotVault): live
+        # sessions replicate their state to the vault every
+        # `replicate_every` frames (125 = every 10 s of audio), so a killed
+        # worker's sessions resume on a replacement worker — beyond the
+        # reference, which scales only by whole replicas
+        # (moshi-server/src/main.rs:293-302)
+        self.vault_url = vault_url.rstrip("/") if vault_url else None
+        self.fleet_auth = fleet_auth
+        self.replicate_every = replicate_every
+        self._session_overrides: dict = {}
+        self._push_task = None
         self.reset()
 
     @property
@@ -155,7 +168,6 @@ class ServerState:
         are ignored; seeds and max_steps are handled outside LMGenConfig.
         Returns the effective session config (the rust MetaData analog) for
         the metadata echo."""
-        from dataclasses import replace as _replace
         overrides = {}
         for name, (field, parse) in self._SESSION_PARAMS.items():
             if name in query:
@@ -177,13 +189,20 @@ class ServerState:
             self.max_steps = min(4500, int(query.get("max_steps", 4500)))
         except ValueError:
             self.max_steps = 4500
+        self._session_overrides = dict(overrides)
+        self.lm_gen, self._step = self._gen_for_overrides(overrides)
+        return self._session_cfg_dict()
+
+    def _gen_for_overrides(self, overrides: dict):
+        """Memoized (LMGen, jitted step) for a sampling-override set (also
+        used to rebuild a migrated session's config on this worker)."""
+        from dataclasses import replace as _replace
         key = tuple(sorted(overrides.items()))
         if key not in self._gen_cache:
             gen = LMGen(self.lm, _replace(self.lm_gen.gc, **overrides))
             self._gen_cache[key] = (gen, self._jit_step(gen))
             log("info", f"compiled session config {overrides}")
-        self.lm_gen, self._step = self._gen_cache[key]
-        return self._session_cfg_dict()
+        return self._gen_cache[key]
 
     def _session_cfg_dict(self) -> dict:
         """The effective session config (the rust MetaData analog)."""
@@ -238,12 +257,14 @@ class ServerState:
                                              codes)
         out_np = np.asarray(out)
         if (out_np == UNGENERATED_TOKEN).any():
+            self._maybe_replicate()
             return None, None, None
         if self.colored_text:
             prob = float(np.asarray(prob_dev)[0])
         self.session_tokens.append(out_np[0, :, 0])
         pcm, self.dec_state = self._decode(self.mimi_params, self.dec_state,
                                            jnp.clip(out[:, 1:], 0, None))
+        self._maybe_replicate()
         return np.asarray(pcm)[0, 0], int(out_np[0, 0, 0]), prob
 
     def set_image_embeddings(self, emb: np.ndarray):
@@ -290,12 +311,100 @@ class ServerState:
             rid, (self.enc_state, self.dec_state, self.gen_state),
             {"steps": self.steps_done, "gen_pair": (self.lm_gen, self._step),
              "max_steps": self.max_steps})
+        # the disconnect snapshot also goes to the fleet vault, so the
+        # client can land on a DIFFERENT worker when it reconnects
+        self._vault_push(rid, {"enc": self.enc_state, "dec": self.dec_state,
+                               "gen": self.gen_state})
+
+    # ------------------------------------------------- cross-worker vault
+    def _vault_meta(self) -> dict:
+        return {"steps": self.steps_done, "max_steps": self.max_steps,
+                "overrides": self._session_overrides}
+
+    def _vault_push(self, rid: str, arrays: dict):
+        """Serialize + POST a session snapshot to the fleet vault in the
+        background.  `arrays` must be safe to read concurrently with the
+        session's next (donated) step — callers pass freshly device-copied
+        buffers (or post-disconnect state that will never step again)."""
+        if not (self.vault_url and self.fleet_auth):
+            return
+        meta = self._vault_meta()
+
+        async def _push():
+            from .snapshots import serialize_snapshot
+            import aiohttp
+            # one device->host transfer, inside the encoder, off the loop
+            blob = await asyncio.to_thread(serialize_snapshot, arrays, meta)
+            try:
+                async with aiohttp.ClientSession() as s:
+                    async with s.post(
+                            f"{self.vault_url}/snapshot/{rid}", data=blob,
+                            headers={"X-Fleet-Auth": self.fleet_auth},
+                            timeout=aiohttp.ClientTimeout(total=30)) as r:
+                        if r.status != 200:
+                            log("warning",
+                                f"vault push {rid}: HTTP {r.status}")
+            except Exception as e:
+                log("warning", f"vault push {rid} failed: {e}")
+
+        try:
+            self._push_task = asyncio.ensure_future(_push())
+        except RuntimeError:
+            pass  # no running loop (sync tests): vault is a serving feature
+
+    def _maybe_replicate(self):
+        """Periodic live replication: every `replicate_every` frames, push a
+        device-side COPY of the streaming state to the vault (the copy is
+        enqueued before the next donated step, so device ordering keeps it
+        consistent; the background device_get then reads only the copy)."""
+        if (self._resume_id is None or not self.vault_url
+                or not self.replicate_every
+                or self.steps_done % self.replicate_every != 0):
+            return
+        if self._push_task is not None and not self._push_task.done():
+            return  # previous push still in flight: skip this interval
+        snap = jax.tree.map(jnp.copy, {"enc": self.enc_state,
+                                       "dec": self.dec_state,
+                                       "gen": self.gen_state})
+        self._vault_push(self._resume_id, snap)
+
+    async def _vault_pull(self, rid: str):
+        """Fetch + deserialize a migrated session from the fleet vault.
+        Returns a SnapshotStore-shaped item or None."""
+        if not (self.vault_url and self.fleet_auth):
+            return None
+        import aiohttp
+        try:
+            async with aiohttp.ClientSession() as s:
+                async with s.get(
+                        f"{self.vault_url}/snapshot/{rid}",
+                        headers={"X-Fleet-Auth": self.fleet_auth},
+                        timeout=aiohttp.ClientTimeout(total=30)) as r:
+                    if r.status != 200:
+                        return None
+                    blob = await r.read()
+        except Exception as e:
+            log("warning", f"vault pull {rid} failed: {e}")
+            return None
+        from .snapshots import deserialize_snapshot
+        arrays, meta = await asyncio.to_thread(deserialize_snapshot, blob)
+        gen_pair = self._gen_for_overrides(
+            dict(meta.get("overrides") or {}))
+        log("info", f"session {rid} migrated in from the fleet vault "
+                    f"(step {meta['steps']})")
+        return ((arrays["enc"], arrays["dec"], arrays["gen"]),
+                {"steps": int(meta["steps"]), "gen_pair": gen_pair,
+                 "max_steps": int(meta["max_steps"])})
 
     async def _take_snapshot(self, token: str | None) -> bool:
         """Restore the snapshot if `token` matches and it hasn't expired.
         One-shot: the restored buffers are donated on the next step (host
-        leaves transfer back on the first jitted call)."""
+        leaves transfer back on the first jitted call).  Falls back to the
+        fleet vault (a session migrating in from another worker) on a
+        local miss."""
         item = await self._snapshots.take(token)
+        if item is None and token:
+            item = await self._vault_pull(token)
         if item is None:
             return False
         (enc, dec, gen), meta = item
@@ -486,7 +595,8 @@ class ServerState:
                 # dependency-free web client path; 10 is unassigned in the
                 # reference protocol, protocol.rs:7-53, so reference peers
                 # simply discard it)
-                pcm = np.frombuffer(data[1:], np.float32)
+                pcm = np.frombuffer(
+                    data[1:len(data) - (len(data) - 1) % 4], np.float32)
                 if paused or pcm.size == 0:
                     continue
                 all_pcm = np.concatenate([all_pcm, pcm])
@@ -694,6 +804,15 @@ def main():
     parser.add_argument("--resume-ttl", type=float, default=60.0,
                         help="seconds a disconnected session stays resumable "
                              "via ?resume=<resume_id> (0 disables)")
+    parser.add_argument("--vault", default=None, metavar="URL",
+                        help="fleet dispatcher base URL for cross-worker "
+                             "session migration (live sessions replicate "
+                             "snapshots there; resumes fall back to it)")
+    parser.add_argument("--fleet-auth", default=None,
+                        help="shared secret for the dispatcher vault")
+    parser.add_argument("--replicate-every", type=int, default=125,
+                        help="frames between live snapshot pushes to the "
+                             "vault (125 = 10 s of audio)")
     parser.add_argument("--kv-cache", default=None,
                         choices=["model", "int8", "int4"],
                         help="override the KV cache dtype (memory/latency "
@@ -735,6 +854,8 @@ def main():
     state = ServerState(info, mimi, mimi_params, lm, lm_params, tokenizer,
                         cfg_coef, log_dir=args.log_dir,
                         session_timeout=args.session_timeout, mesh=mesh,
+                        vault_url=args.vault, fleet_auth=args.fleet_auth,
+                        replicate_every=args.replicate_every,
                         **gen_cfg)
     state.resume_ttl = args.resume_ttl
     log("info", "warming up")

@@ -21,6 +21,45 @@ def new_resume_id() -> str:
     return secrets.token_hex(8)
 
 
+# ------------------------------------------------------- wire serialization
+def serialize_snapshot(arrays, meta: dict) -> bytes:
+    """Encode (state pytree, JSON-able metadata) as one safetensors blob for
+    cross-worker migration (the pytree goes through native_ckpt's flat
+    encoding, so QTensor/int-KV leaves survive; no pickling anywhere)."""
+    import json
+    import numpy as np
+    import ml_dtypes
+    from safetensors.numpy import save
+    from ..models.native_ckpt import flatten_tree
+    flat, bf16_keys = {}, []
+    for k, v in flatten_tree({"state": arrays}).items():
+        x = np.asarray(jax.device_get(v))
+        if x.dtype == ml_dtypes.bfloat16:
+            # safetensors' in-memory numpy codec has no BF16: ship the raw
+            # bits as uint16 and re-view at load (keys recorded in meta)
+            x = x.view(np.uint16)
+            bf16_keys.append(k)
+        flat[k] = np.ascontiguousarray(x)
+    header = {"meta": meta, "bf16": bf16_keys}
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(header).encode("utf-8"), np.uint8).copy()
+    return save(flat)
+
+
+def deserialize_snapshot(data: bytes):
+    """Inverse of serialize_snapshot: returns (arrays pytree, meta dict)."""
+    import json
+    import numpy as np
+    import ml_dtypes
+    from safetensors.numpy import load
+    from ..models.native_ckpt import unflatten_tree
+    flat = dict(load(data))
+    header = json.loads(bytes(flat.pop("__meta__")).decode("utf-8"))
+    for k in header["bf16"]:
+        flat[k] = flat[k].view(ml_dtypes.bfloat16)
+    return unflatten_tree(flat)["state"], header["meta"]
+
+
 def wants_resume(query) -> bool:
     return "resume_support" in query or "resume" in query
 

@@ -176,6 +176,12 @@ def build_module(name: str, mcfg: dict, seed: int):
                             cfg_coef=mcfg.get("cfg_coef", ckpt_cfg_coef),
                             log_dir=mcfg.get("log_dir"),
                             mesh=_maybe_mesh(mcfg, all_devices=False),
+                            # TOML: vault_url/fleet_auth/replicate_every —
+                            # cross-worker session migration via the fleet
+                            # dispatcher's SnapshotVault
+                            vault_url=mcfg.get("vault_url"),
+                            fleet_auth=mcfg.get("fleet_auth"),
+                            replicate_every=mcfg.get("replicate_every", 125),
                             **gen_cfg)
         state.warmup()
         return route, state.handle_chat, None, {"type": mtype}
