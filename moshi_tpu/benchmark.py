@@ -236,6 +236,176 @@ def bench_tts(model_name: str = "tts_v0_1", steps: int = 50,
     return summary
 
 
+def bench_asr_host_only(model_name: str = "asr_300m_202501",
+                        batch: int = 64, steps: int = 200) -> dict:
+    """Pure-python cost of the ASR host control plane at batch — the
+    per-slot delayed-feeding + word-tracking loops in
+    `models/asr.py:step_tokens` with the device step stubbed out.  This is
+    the number the tunnel-dominated `host_roundtrip_ms` cannot show
+    (VERDICT r3 item 2): what the host actually burns per frame at scale."""
+    from moshi_tpu.models.asr import StreamingASR
+    from moshi_tpu.models.mimi import MimiModel, MimiConfig
+    from moshi_tpu.models.loaders import LM_PRESETS
+    from moshi_tpu.models.lm import LMModel
+
+    config = LM_PRESETS[model_name]()
+    lm = LMModel(config)
+    mimi = MimiModel(MimiConfig(num_codebooks=min(config.n_q, 32)))
+
+    class WordyTok:
+        def decode(self, ids):
+            return "w" * len(ids)
+
+    asr = StreamingASR(mimi, lm, batch, asr_delay_in_tokens=6,
+                       temperature=0.0, text_tokenizer=WordyTok())
+    rs = np.random.RandomState(0)
+    # plausible text stream: ~40% pads/epads so words flush at a realistic
+    # rate (2-3 words/s), rest real tokens
+    text_seq = np.where(rs.rand(steps + 5, batch) < 0.25, 0,
+                        np.where(rs.rand(steps + 5, batch) < 0.2, 3,
+                                 rs.randint(4, 1000, (steps + 5, batch))))
+    text_seq = text_seq.astype(np.int32)
+    prs = np.zeros((2, batch), np.float32)
+    counter = {"i": 0}
+
+    def fake_step(lm_params, tr_state, tokens, rng, exec_mask):
+        i = counter["i"]
+        counter["i"] += 1
+        return text_seq[min(i, steps + 4)], prs, tr_state, rng
+
+    asr._step_fn = fake_step
+    state = {"transformer": {}, "rng": None, "mimi": {}}
+    audio = rs.randint(0, 2048, (batch, asr.n_codebooks, 1)).astype(np.int32)
+
+    for i in range(5):  # warm the interpreter/caches
+        asr.step_tokens(None, state, audio)
+    t0 = time.perf_counter()
+    n_msgs = 0
+    for i in range(steps):
+        msgs, _ = asr.step_tokens(None, state, audio)
+        n_msgs += len(msgs)
+    host_ms = (time.perf_counter() - t0) * 1000 / steps
+    return {"mode": "asr_host_only", "model": model_name, "batch": batch,
+            "steps": steps, "host_python_ms": round(host_ms, 3),
+            "host_python_us_per_user": round(host_ms * 1000 / batch, 1),
+            "msgs_per_step": n_msgs / steps}
+
+
+def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
+                      steps: int = 50, out_path: str | None = None) -> dict:
+    """Batched-TTS frame benchmark: `serve/batched_tts.BatchedTTSState.
+    step_batch` with all slots active — the real multi-tenant step (one
+    temporal fwd + per-slot DSM machines + depformer + Mimi decode).
+    Also isolates the pure-python host share (machines + mask assembly)
+    by stubbing the two jitted device calls."""
+    from bench import build_mimi
+    from moshi_tpu.models.tts import TTSModel, StateMachine, TokenIds
+    from moshi_tpu.serve.batched_tts import BatchedTTSState, _TtsSlot
+
+    lm, lm_params = _preset_lm(model_name)
+    c = lm.config
+    mimi, mimi_params = build_mimi(min(c.dep_q, 32))
+
+    class _Tok:
+        def encode(self, word):
+            return [7 + (len(word) % 13)]
+
+    machine = StateMachine(TokenIds(card=c.text_card + 1), max_padding=8,
+                           initial_padding=2)
+    tts = TTSModel(lm, mimi, _Tok(), machine, delay_steps=25, temp=0.6,
+                   n_q=c.dep_q, max_gen_length=10_000, final_padding=4)
+    state = BatchedTTSState(tts, lm_params, mimi_params, batch,
+                            jax.random.PRNGKey(0))
+    for b in range(batch):
+        state.slots[b] = _TtsSlot(machine)
+
+    def feed_all():
+        for b in range(batch):
+            if len(state.slots[b].state.entries) < 4:
+                state.feed_words(b, ["hello world how are you today friend"])
+
+    events = []
+    active = list(range(batch))
+    for i in range(steps + 5):
+        feed_all()
+        t0 = time.perf_counter()
+        state.step_batch(active)
+        dt = time.perf_counter() - t0
+        if i >= 5:
+            events.append({"event": "tts_batch_step", "step": i,
+                           "ms": dt * 1000})
+        for b in range(batch):  # drain queues so they don't grow
+            q = state.slots[b].queue
+            while not q.empty():
+                q.get_nowait()
+
+    # device-only share: chain the two jitted calls with fixed host inputs
+    gstate, dec_state = state.gstate, state.dec_state
+    fixed_tok = jnp.zeros((batch,), jnp.int32)
+    zero_mask = jnp.zeros((batch, c.dep_q), bool)
+    ones = jnp.ones((batch,), bool)
+    for _ in range(3):
+        _, _, h, gstate = state._main(lm_params, gstate, state._input,
+                                      ones, state.condition_sum)
+        _, pcm, gstate, dec_state = state._depth_decode(
+            lm_params, mimi_params, gstate, dec_state, fixed_tok, h,
+            ones, zero_mask, ones)
+    jax.block_until_ready(pcm)
+    t0 = time.perf_counter()
+    for _ in range(len(events)):
+        _, _, h, gstate = state._main(lm_params, gstate, state._input,
+                                      ones, state.condition_sum)
+        _, pcm, gstate, dec_state = state._depth_decode(
+            lm_params, mimi_params, gstate, dec_state, fixed_tok, h,
+            ones, zero_mask, ones)
+    np.asarray(pcm)
+    device_ms = (time.perf_counter() - t0) * 1000 / len(events)
+
+    # pure-python host share: stub the device calls entirely
+    state2 = BatchedTTSState(tts, lm_params, mimi_params, batch,
+                             jax.random.PRNGKey(0))
+    for b in range(batch):
+        state2.slots[b] = _TtsSlot(machine)
+    toks_np = np.full((batch,), 5, np.int32)
+    out_np = np.zeros((batch, 1 + c.dep_q, 1), np.int32)
+    pcm_np = np.zeros((batch, 1, mimi.frame_size), np.float32)
+    state2._main = lambda *a, **k: (toks_np, None, None, state2.gstate)
+    state2._depth_decode = lambda *a, **k: (out_np, pcm_np, state2.gstate,
+                                            state2.dec_state)
+    for b in range(batch):
+        state2.feed_words(b, ["hello world how are you today"] * 10)
+    for _ in range(5):
+        state2.step_batch(active)
+    t0 = time.perf_counter()
+    for i in range(len(events)):
+        for b in range(batch):
+            if len(state2.slots[b].state.entries) < 4:
+                state2.feed_words(b, ["hello world how are you"])
+        state2.step_batch(active)
+        for b in range(batch):
+            q = state2.slots[b].queue
+            while not q.empty():
+                q.get_nowait()
+    host_python_ms = (time.perf_counter() - t0) * 1000 / len(events)
+
+    durations = sorted(e["ms"] for e in events)
+    summary = {
+        "mode": "tts_batched", "model": model_name, "batch": batch,
+        "steps": len(events),
+        "p50_ms": durations[len(durations) // 2],
+        "p90_ms": durations[int(len(durations) * 0.9)],
+        "ms_per_user_p50": durations[len(durations) // 2] / batch,
+        "device_only_ms": round(device_ms, 2),
+        "ms_per_user_device": round(device_ms / batch, 3),
+        "host_python_ms": round(host_python_ms, 3),
+        "realtime_device_only": device_ms < 80.0,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"summary": summary, "events": events}, f)
+    return summary
+
+
 def bench_mimi_only(steps: int = 100) -> dict:
     from bench import build_mimi
     mimi, mimi_params = build_mimi(8)
@@ -271,16 +441,34 @@ def main():
     parser.add_argument("--mimi-only", action="store_true")
     parser.add_argument("--mode", default="duplex",
                         choices=("duplex", "tts", "asr"))
-    parser.add_argument("--batch", type=int, default=8, help="asr batch size")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="asr/tts batch size (tts batch>1 runs the "
+                             "batched multi-tenant step)")
+    parser.add_argument("--host-only", action="store_true",
+                        help="measure only the pure-python host control "
+                             "plane (no device): the per-slot state "
+                             "machines at batch")
     args = parser.parse_args()
     if args.mimi_only:
         print(json.dumps(bench_mimi_only(args.steps)))
     elif args.mode == "asr":
         name = args.model if args.model != "moshi_2b" else "asr_300m_202501"
-        print(json.dumps(bench_asr(name, args.batch, args.steps, args.out)))
+        if args.host_only:
+            print(json.dumps(bench_asr_host_only(name, args.batch,
+                                                 max(args.steps, 100))))
+        else:
+            out = bench_asr(name, args.batch, args.steps, args.out)
+            out.update(bench_asr_host_only(name, args.batch,
+                                           max(args.steps, 100)))
+            out["mode"] = "asr"
+            print(json.dumps(out))
     elif args.mode == "tts":
         name = args.model if args.model != "moshi_2b" else "tts_v0_1"
-        print(json.dumps(bench_tts(name, args.steps, args.out)))
+        if args.batch > 1:
+            print(json.dumps(bench_tts_batched(name, args.batch, args.steps,
+                                               args.out)))
+        else:
+            print(json.dumps(bench_tts(name, args.steps, args.out)))
     else:
         print(json.dumps(bench_paced(args.model, args.steps, args.out,
                                      paced=not args.no_pacing)))
