@@ -85,13 +85,23 @@ def _zeros_like_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def _preset_lm(name: str, dtype=jnp.bfloat16):
+def _preset_lm(name: str, dtype=jnp.bfloat16, quantize: str | None = None):
     from moshi_tpu.models.loaders import LM_PRESETS
     from moshi_tpu.models.lm import LMModel
     config = LM_PRESETS[name]()
     model = LMModel(config)
-    shapes = jax.eval_shape(lambda k: model.init_params(k, dtype),
-                            jax.random.PRNGKey(0))
+
+    def make(k):
+        p = model.init_params(k, dtype)
+        if quantize:
+            # quantize inside eval_shape so the bf16 tree is never
+            # materialized (tts_v0_1 is ~3.3B params = 7 GB bf16; building
+            # bf16 zeros then quantizing would double the HBM peak)
+            from moshi_tpu.utils.quantize import quantize_lm_params
+            p = quantize_lm_params(p, mode=quantize)
+        return p
+
+    shapes = jax.eval_shape(make, jax.random.PRNGKey(0))
     return model, _zeros_like_tree(shapes)
 
 
@@ -292,7 +302,10 @@ def bench_asr_host_only(model_name: str = "asr_300m_202501",
 
 
 def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
-                      steps: int = 50, out_path: str | None = None) -> dict:
+                      steps: int = 50, out_path: str | None = None,
+                      kv_cache: str | None = None,
+                      context: int | None = None,
+                      weights: str | None = None) -> dict:
     """Batched-TTS frame benchmark: `serve/batched_tts.BatchedTTSState.
     step_batch` with all slots active — the real multi-tenant step (one
     temporal fwd + per-slot DSM machines + depformer + Mimi decode).
@@ -302,7 +315,19 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
     from moshi_tpu.models.tts import TTSModel, StateMachine, TokenIds
     from moshi_tpu.serve.batched_tts import BatchedTTSState, _TtsSlot
 
-    lm, lm_params = _preset_lm(model_name)
+    lm, lm_params = _preset_lm(model_name, quantize=weights)
+    # capacity knobs (tts_v0_1's bf16 KV at ctx 4096 alone is ~13 GB at
+    # B=8 — int8/int4 KV and a bounded context are the production batched
+    # config, exactly as for batched full-duplex, BENCH_BATCH.md)
+    if kv_cache or context:
+        from dataclasses import replace
+        from moshi_tpu.models.lm import LMModel
+        cfg = lm.config
+        if kv_cache:
+            cfg = replace(cfg, kv_cache_dtype=kv_cache)
+        if context:
+            cfg = replace(cfg, context=context)
+        lm = LMModel(cfg)
     c = lm.config
     mimi, mimi_params = build_mimi(min(c.dep_q, 32))
 
@@ -361,9 +386,10 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
     np.asarray(pcm)
     device_ms = (time.perf_counter() - t0) * 1000 / len(events)
 
-    # pure-python host share: stub the device calls entirely
-    state2 = BatchedTTSState(tts, lm_params, mimi_params, batch,
-                             jax.random.PRNGKey(0))
+    # pure-python host share: stub the device calls on the SAME state
+    # object (a second BatchedTTSState would allocate a second full device
+    # KV and OOM the big presets at batch)
+    state2 = state
     for b in range(batch):
         state2.slots[b] = _TtsSlot(machine)
     toks_np = np.full((batch,), 5, np.int32)
@@ -444,6 +470,14 @@ def main():
     parser.add_argument("--batch", type=int, default=8,
                         help="asr/tts batch size (tts batch>1 runs the "
                              "batched multi-tenant step)")
+    parser.add_argument("--kv-cache", default=None,
+                        choices=["int8", "int4"],
+                        help="KV cache dtype for batched tts")
+    parser.add_argument("--ctx", type=int, default=None,
+                        help="context override for batched tts")
+    parser.add_argument("--weights", default=None,
+                        choices=["int8", "int4"],
+                        help="weight quantization for batched tts")
     parser.add_argument("--host-only", action="store_true",
                         help="measure only the pure-python host control "
                              "plane (no device): the per-slot state "
@@ -466,7 +500,8 @@ def main():
         name = args.model if args.model != "moshi_2b" else "tts_v0_1"
         if args.batch > 1:
             print(json.dumps(bench_tts_batched(name, args.batch, args.steps,
-                                               args.out)))
+                                               args.out, args.kv_cache,
+                                               args.ctx, args.weights)))
         else:
             print(json.dumps(bench_tts(name, args.steps, args.out)))
     else:
