@@ -106,18 +106,34 @@ def _preset_lm(name: str, dtype=jnp.bfloat16, quantize: str | None = None):
 
 
 def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
-              steps: int = 50, out_path: str | None = None) -> dict:
+              steps: int = 50, out_path: str | None = None,
+              kv_cache: str | None = None,
+              context: int | None = None,
+              weights: str | None = None,
+              mimi_dtype=jnp.float32) -> dict:
     """Batched streaming-ASR step benchmark: mimi encode + host-side delayed
     feeding + LM step + word state machine — the real `step_pcm` round-trip
     that `serve/batched_asr.py` pays per 80 ms frame (reference metric:
-    `asr_model_step_duration` buckets 20-80 ms, metrics.rs:21-25)."""
+    `asr_model_step_duration` buckets 20-80 ms, metrics.rs:21-25).
+    Capacity knobs mirror bench_tts_batched: bf16 KV OOMs between B=128 and
+    B=256 on a 16 GB v5e (BENCH_TTS_ASR.md) — int8 KV halves the per-user
+    cache and is the production config past B=128."""
     from bench import build_mimi
     from moshi_tpu.models.asr import StreamingASR
 
-    lm, lm_params = _preset_lm(model_name)
-    mimi, mimi_params = build_mimi(min(lm.config.n_q, 32))
+    lm, lm_params = _preset_lm(model_name, quantize=weights)
+    if kv_cache or context:
+        from dataclasses import replace
+        from moshi_tpu.models.lm import LMModel
+        cfg = lm.config
+        if kv_cache:
+            cfg = replace(cfg, kv_cache_dtype=kv_cache)
+        if context:
+            cfg = replace(cfg, context=context)
+        lm = LMModel(cfg)
+    mimi, mimi_params = build_mimi(min(lm.config.n_q, 32), mimi_dtype)
     asr = StreamingASR(mimi, lm, batch, asr_delay_in_tokens=6,
-                       temperature=0.0)
+                       temperature=0.0, mimi_dtype=mimi_dtype)
     state = asr.init_state(jax.random.PRNGKey(0))
     fs = mimi.frame_size
     rs = np.random.RandomState(0)
@@ -137,7 +153,7 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     # state-machine round trip, which through THIS dev environment's
     # tunneled TPU costs ~30 ms/sync (CLAUDE.md) — a local chip pays <1 ms.
     tokens = jnp.zeros((batch, 1 + asr.n_codebooks, 1), jnp.int32)
-    pcm_j = jnp.zeros((batch, 1, fs), jnp.float32)
+    pcm_j = jnp.zeros((batch, 1, fs), mimi_dtype)
     tr_state, rng = state["transformer"], state["rng"]
     mimi_state = state["mimi"]
     for _ in range(3):
@@ -154,6 +170,10 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     durations = sorted(e["ms"] for e in events)
     summary = {
         "mode": "asr", "model": model_name, "batch": batch,
+        "kv_cache": kv_cache or lm.config.kv_cache_dtype,
+        "context": lm.config.context,
+        "weights": weights or "bf16",
+        "mimi": jnp.dtype(mimi_dtype).name,
         "steps": len(events),
         "p50_ms": durations[len(durations) // 2],
         "p90_ms": durations[int(len(durations) * 0.9)],
@@ -305,7 +325,8 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
                       steps: int = 50, out_path: str | None = None,
                       kv_cache: str | None = None,
                       context: int | None = None,
-                      weights: str | None = None) -> dict:
+                      weights: str | None = None,
+                      mimi_dtype=jnp.float32) -> dict:
     """Batched-TTS frame benchmark: `serve/batched_tts.BatchedTTSState.
     step_batch` with all slots active — the real multi-tenant step (one
     temporal fwd + per-slot DSM machines + depformer + Mimi decode).
@@ -329,7 +350,7 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
             cfg = replace(cfg, context=context)
         lm = LMModel(cfg)
     c = lm.config
-    mimi, mimi_params = build_mimi(min(c.dep_q, 32))
+    mimi, mimi_params = build_mimi(min(c.dep_q, 32), mimi_dtype)
 
     class _Tok:
         def encode(self, word):
@@ -340,7 +361,7 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
     tts = TTSModel(lm, mimi, _Tok(), machine, delay_steps=25, temp=0.6,
                    n_q=c.dep_q, max_gen_length=10_000, final_padding=4)
     state = BatchedTTSState(tts, lm_params, mimi_params, batch,
-                            jax.random.PRNGKey(0))
+                            jax.random.PRNGKey(0), mimi_dtype=mimi_dtype)
     for b in range(batch):
         state.slots[b] = _TtsSlot(machine)
 
@@ -417,6 +438,10 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
     durations = sorted(e["ms"] for e in events)
     summary = {
         "mode": "tts_batched", "model": model_name, "batch": batch,
+        "kv_cache": kv_cache or c.kv_cache_dtype,
+        "context": c.context,
+        "weights": weights or "bf16",
+        "mimi": jnp.dtype(mimi_dtype).name,
         "steps": len(events),
         "p50_ms": durations[len(durations) // 2],
         "p90_ms": durations[int(len(durations) * 0.9)],
@@ -472,17 +497,23 @@ def main():
                              "batched multi-tenant step)")
     parser.add_argument("--kv-cache", default=None,
                         choices=["int8", "int4"],
-                        help="KV cache dtype for batched tts")
+                        help="KV cache dtype for batched tts/asr")
     parser.add_argument("--ctx", type=int, default=None,
-                        help="context override for batched tts")
+                        help="context override for batched tts/asr")
     parser.add_argument("--weights", default=None,
                         choices=["int8", "int4"],
-                        help="weight quantization for batched tts")
+                        help="weight quantization for batched tts/asr")
+    parser.add_argument("--mimi-dtype", default="f32",
+                        choices=["f32", "bf16"],
+                        help="codec dtype for batched tts/asr (bf16 halves "
+                             "the codec share; codes not bit-exact — "
+                             "QUALITY.md bounds)")
     parser.add_argument("--host-only", action="store_true",
                         help="measure only the pure-python host control "
                              "plane (no device): the per-slot state "
                              "machines at batch")
     args = parser.parse_args()
+    mimi_dtype = jnp.bfloat16 if args.mimi_dtype == "bf16" else jnp.float32
     if args.mimi_only:
         print(json.dumps(bench_mimi_only(args.steps)))
     elif args.mode == "asr":
@@ -491,7 +522,9 @@ def main():
             print(json.dumps(bench_asr_host_only(name, args.batch,
                                                  max(args.steps, 100))))
         else:
-            out = bench_asr(name, args.batch, args.steps, args.out)
+            out = bench_asr(name, args.batch, args.steps, args.out,
+                            args.kv_cache, args.ctx, args.weights,
+                            mimi_dtype)
             out.update(bench_asr_host_only(name, args.batch,
                                            max(args.steps, 100)))
             out["mode"] = "asr"
@@ -501,7 +534,8 @@ def main():
         if args.batch > 1:
             print(json.dumps(bench_tts_batched(name, args.batch, args.steps,
                                                args.out, args.kv_cache,
-                                               args.ctx, args.weights)))
+                                               args.ctx, args.weights,
+                                               mimi_dtype)))
         else:
             print(json.dumps(bench_tts(name, args.steps, args.out)))
     else:

@@ -79,7 +79,11 @@ class _ItemState:
 class StreamingASR:
     def __init__(self, mimi: MimiModel, lm: LMModel, batch_size: int,
                  asr_delay_in_tokens: int, temperature: float = 0.0,
-                 text_tokenizer=None, frame_rate: float = 12.5):
+                 text_tokenizer=None, frame_rate: float = 12.5,
+                 mimi_dtype=jnp.float32):
+        # mimi_dtype=bf16 is the batched-serving codec knob (BENCH_BATCH.md):
+        # callers must pass mimi params cast to the same dtype.
+        self.mimi_dtype = jnp.dtype(mimi_dtype)
         self.mimi = mimi
         self.lm = lm
         self.batch_size = batch_size
@@ -101,7 +105,7 @@ class StreamingASR:
         # slots when B collides with a layer-stack dim (utils/trees.py)
         from ..utils.trees import state_batch_axes
         self._ax_mimi = state_batch_axes(
-            lambda b: self.mimi.init_encode_state(b))
+            lambda b: self.mimi.init_encode_state(b, self.mimi_dtype))
         self._ax_tr = state_batch_axes(
             lambda b: self.lm.transformer.init_state(b, jnp.bfloat16))
 
@@ -123,7 +127,8 @@ class StreamingASR:
     # --------------------------------------------------------------- state mgmt
     def init_state(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
         return {
-            "mimi": self.mimi.init_encode_state(self.batch_size),
+            "mimi": self.mimi.init_encode_state(self.batch_size,
+                                                self.mimi_dtype),
             "transformer": self.lm.transformer.init_state(self.batch_size, dtype),
             "rng": rng,
         }
@@ -141,7 +146,8 @@ class StreamingASR:
         in-place selects on the donated buffers."""
         from ..utils.trees import masked_reset
         init = {
-            "mimi": self.mimi.init_encode_state(self.batch_size),
+            "mimi": self.mimi.init_encode_state(self.batch_size,
+                                                self.mimi_dtype),
             "transformer": self.lm.transformer.init_state(
                 self.batch_size, state["transformer"]["k"].dtype),
         }
@@ -157,8 +163,9 @@ class StreamingASR:
     def step_pcm(self, mimi_params, lm_params, state: dict, pcm,
                  exec_mask=None) -> tuple[list, dict]:
         """pcm: [B, 1, n*frame_size] -> (messages, new state)."""
-        codes, mimi_state = self._encode_fn(mimi_params, state["mimi"],
-                                            jnp.asarray(pcm), exec_mask)
+        codes, mimi_state = self._encode_fn(
+            mimi_params, state["mimi"],
+            jnp.asarray(pcm, self.mimi_dtype), exec_mask)
         state = dict(state)
         state["mimi"] = mimi_state
         msgs, state = self.step_tokens(lm_params, state, np.asarray(codes), exec_mask)

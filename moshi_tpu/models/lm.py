@@ -202,8 +202,8 @@ def embed(table_params: dict, tokens: jax.Array, dtype=None) -> jax.Array:
         left = tokens % card
         right = tokens // card - 1
         right_zero = (right < 0)[..., None]
-        le = jnp.take(w, left, axis=0)
-        re = jnp.take(w, jnp.clip(right, 0, None), axis=0)
+        le = jnp.take(w, left, axis=0, mode="clip")
+        re = jnp.take(w, jnp.clip(right, 0, None), axis=0, mode="clip")
         y = dot(le, table_params["out1"].astype(le.dtype))
         y = y + jnp.where(right_zero, jnp.zeros((), y.dtype),
                           dot(re, table_params["out2"].astype(re.dtype)))
@@ -211,7 +211,9 @@ def embed(table_params: dict, tokens: jax.Array, dtype=None) -> jax.Array:
         if dtype is not None:
             y = y.astype(dtype)
         return y
-    y = jnp.take(w, tokens, axis=0)
+    # mode="clip": the default take fills out-of-bounds with NaN, which would
+    # poison the streaming state forever; clients can send garbage tokens.
+    y = jnp.take(w, tokens, axis=0, mode="clip")
     y = jnp.where(is_zero[..., None], jnp.zeros((), y.dtype), y)
     if "low_rank" in table_params:
         y = dot(y, table_params["low_rank"])

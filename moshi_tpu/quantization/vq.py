@@ -87,7 +87,12 @@ class ResidualVectorQuantizer:
         emb = params["embedding"][:K]
 
         def gather(e, c):  # e: [bins, D], c: [B, T]
-            return jnp.take(e, c, axis=0)
+            # mode="clip": jnp.take's default fills out-of-bounds with NaN,
+            # which permanently poisons the streaming decode state.  Decode
+            # can see codes >= bins from hostile clients (mimi_ws rooms) or
+            # from an LM whose audio card exceeds the codec bins — clamp,
+            # never NaN (one bad frame must not kill a batch loop).
+            return jnp.take(e, c, axis=0, mode="clip")
 
         quant = jax.vmap(gather, in_axes=(0, 1))(emb, codes)  # [K, B, T, D]
         quant = jnp.sum(quant, axis=0)
@@ -99,7 +104,8 @@ class ResidualVectorQuantizer:
         """Sum of codebook vectors without the output projection ([B, T, D])."""
         K = codes.shape[1]
         emb = params["embedding"][:K]
-        quant = jax.vmap(lambda e, c: jnp.take(e, c, axis=0), in_axes=(0, 1))(emb, codes)
+        quant = jax.vmap(lambda e, c: jnp.take(e, c, axis=0, mode="clip"),
+                         in_axes=(0, 1))(emb, codes)
         return jnp.sum(quant, axis=0)
 
 

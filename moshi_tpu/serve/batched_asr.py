@@ -377,15 +377,48 @@ def main():
     parser.add_argument("--checkpoint-dir", required=True)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--kv-cache", default=None,
+                        choices=["model", "int8", "int4"],
+                        help="override the KV cache dtype: bf16 KV OOMs "
+                             "between B=128 and B=256 on a 16 GB v5e; int8 "
+                             "halves the per-user cache (BENCH_TTS_ASR.md)")
+    parser.add_argument("--context", type=int, default=None,
+                        help="override the attention context window "
+                             "(per-user KV memory scales with it)")
+    parser.add_argument("--weights", default=None, choices=["int8", "int4"],
+                        help="quantize LM weights after load")
+    parser.add_argument("--mimi-dtype", default="f32",
+                        choices=["f32", "bf16"],
+                        help="bf16 halves the codec share of the frame at "
+                             "large batch (codes not bit-exact — QUALITY.md)")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
     mimi, mimi_params = info.get_mimi()
     lm, lm_params = info.get_moshi()
+    import jax.numpy as jnp
+    mimi_dtype = jnp.bfloat16 if args.mimi_dtype == "bf16" else jnp.float32
+    if mimi_dtype != jnp.float32:
+        mimi_params = jax.tree.map(
+            lambda x: x.astype(mimi_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
+    if args.kv_cache or args.context:
+        from dataclasses import replace
+        from ..models.lm import LMModel
+        cfg = lm.config
+        if args.kv_cache:
+            cfg = replace(cfg, kv_cache_dtype=args.kv_cache)
+        if args.context:
+            cfg = replace(cfg, context=args.context)
+        lm = LMModel(cfg)
+    if args.weights:
+        from ..utils.quantize import quantize_lm_params
+        lm_params = quantize_lm_params(lm_params, mode=args.weights)
     tokenizer = SentencePieceTokenizer(Path(args.checkpoint_dir) / info.tokenizer_name)
     delay = int(info.stt_config.get("audio_delay_seconds", 0.5) * mimi.frame_rate)
     asr = StreamingASR(mimi, lm, args.batch_size, asr_delay_in_tokens=delay,
-                       temperature=args.temperature, text_tokenizer=tokenizer)
+                       temperature=args.temperature, text_tokenizer=tokenizer,
+                       mimi_dtype=mimi_dtype)
     state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
 
     async def metrics_handler(_):

@@ -45,7 +45,17 @@ class _TtsSlot:
 class BatchedTTSState:
     def __init__(self, tts, lm_params, mimi_params, batch_size: int,
                  rng: jax.Array, max_consecutive_starved_pads: int = 10,
-                 condition_params: dict | None = None):
+                 condition_params: dict | None = None,
+                 mimi_dtype=jnp.float32):
+        # mimi_dtype=bf16 is the same serving knob as batched_moshi's: the
+        # f32 codec is a large share of the big-batch frame and bf16 halves
+        # it (codes no longer bit-exact; bounds in QUALITY.md) — opt-in.
+        md = jnp.dtype(mimi_dtype)
+        if md != jnp.float32:
+            mimi_params = jax.tree.map(
+                lambda x: x.astype(md)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
+        self.mimi_dtype = md
         self.tts = tts
         self.lm_params, self.mimi_params = lm_params, mimi_params
         self.cp_params = condition_params
@@ -60,7 +70,7 @@ class BatchedTTSState:
         self.machine = tts.machine
         B = batch_size
         self.gstate = self.gen.init_state(B, rng)
-        self.dec_state = tts.mimi.init_decode_state(B)
+        self.dec_state = tts.mimi.init_decode_state(B, md)
         self._missing = c.num_codebooks - c.dep_q - 1
         self._input = jnp.full((B, max(self._missing, 1), 1), ZERO_TOKEN,
                                jnp.int32)
@@ -89,7 +99,7 @@ class BatchedTTSState:
             codes = jnp.clip(out[:, 1:n_q + 1], 0, None)
             pcm, dec_state = mimi.decode_step(mimi_params, dec_state, codes,
                                               exec_mask=dec_mask)
-            return out, pcm, gstate, dec_state
+            return out, pcm.astype(jnp.float32), gstate, dec_state
 
         # donate the streaming states (in-place ring-KV scatter; see
         # BENCH_BATCH.md) — every caller rebinds the returned states
@@ -103,7 +113,7 @@ class BatchedTTSState:
         self._ax_gen = state_batch_axes(
             lambda b: self.gen.init_state(b, _rng0))
         self._ax_dec = state_batch_axes(
-            lambda b: mimi.init_decode_state(b))
+            lambda b: mimi.init_decode_state(b, md))
 
         def _reset(gstate, dec_state, mask):
             fresh = self.gen.init_state(batch_size, gstate["rng"])
@@ -127,7 +137,7 @@ class BatchedTTSState:
                     new_gen[key] = masked_reset(gstate[key], fresh[key], mk,
                                                 self._ax_gen[key])
             dec_state = masked_reset(
-                dec_state, mimi.init_decode_state(batch_size), mask,
+                dec_state, mimi.init_decode_state(batch_size, md), mask,
                 self._ax_dec)
             return new_gen, dec_state
 

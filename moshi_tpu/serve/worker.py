@@ -17,8 +17,14 @@ Config example (TOML):
     checkpoint_dir = "/ckpt/moshiko"
     kv_cache = "int4"                 # optional: model | int8 | int4
                                       # (memory/capacity knob, BENCH_BATCH.md)
-    mimi_dtype = "bf16"               # optional (batched_moshi): halves the
-                                      # codec share at large batch
+    context = 1000                    # optional (batched_asr | batched_tts):
+                                      # bound the attention window (per-user
+                                      # KV memory scales with it)
+    weights = "int8"                  # optional (batched_asr | batched_tts):
+                                      # re-quantize LM weights after load
+    mimi_dtype = "bf16"               # optional (batched_moshi | batched_asr
+                                      # | batched_tts): halves the codec
+                                      # share at large batch
     tp = 2                            # optional (moshi | batched_moshi):
                                       # tensor-parallel over all chips
                                       # (7B bf16 needs 2x 16 GB)
@@ -140,11 +146,38 @@ def build_module(name: str, mcfg: dict, seed: int):
 
     def maybe_override_kv(lm):
         kv = mcfg.get("kv_cache")
-        if kv:
+        ctx = mcfg.get("context")
+        if kv or ctx:
             from dataclasses import replace
             from ..models.lm import LMModel
-            lm = LMModel(replace(lm.config, kv_cache_dtype=kv))
+            cfg = lm.config
+            if kv:
+                cfg = replace(cfg, kv_cache_dtype=kv)
+            if ctx:
+                cfg = replace(cfg, context=int(ctx))
+            lm = LMModel(cfg)
         return lm
+
+    def maybe_quantize(lm_params):
+        # TOML `weights = "int8" | "int4"`: re-quantize after load (the
+        # big-batch capacity knob, BENCH_BATCH.md / BENCH_TTS_ASR.md)
+        w = mcfg.get("weights")
+        if w:
+            from ..utils.quantize import quantize_lm_params
+            lm_params = quantize_lm_params(lm_params, mode=w)
+        return lm_params
+
+    def mimi_dtype():
+        return (jnp.bfloat16 if mcfg.get("mimi_dtype") == "bf16"
+                else jnp.float32)
+
+    def cast_mimi(mimi_params):
+        md = mimi_dtype()
+        if md != jnp.float32:
+            mimi_params = jax.tree.map(
+                lambda x: x.astype(md)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
+        return mimi_params
 
     def _stage_load(mc):
         import contextlib
@@ -213,12 +246,16 @@ def build_module(name: str, mcfg: dict, seed: int):
         from .batched_asr import BatchedAsrState, handle_asr_socket
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()
+        lm = maybe_override_kv(lm)
+        lm_params = maybe_quantize(lm_params)
+        mimi_params = cast_mimi(mimi_params)
         delay = int(info.stt_config.get("audio_delay_seconds", 0.5)
                     * mimi.frame_rate)
         asr = StreamingASR(mimi, lm, mcfg.get("batch_size", 8),
                            asr_delay_in_tokens=delay,
                            temperature=mcfg.get("temperature", 0.0),
-                           text_tokenizer=_load_tokenizer(ckpt, info))
+                           text_tokenizer=_load_tokenizer(ckpt, info),
+                           mimi_dtype=mimi_dtype())
         state = BatchedAsrState(asr, mimi_params, lm_params, rng)
 
         async def startup():
@@ -247,9 +284,12 @@ def build_module(name: str, mcfg: dict, seed: int):
         tts, lm_params, mimi_params, cp_params = build_tts(
             ckpt, temp=mcfg.get("temp", 0.6),
             cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
+        tts.lm = maybe_override_kv(tts.lm)
+        lm_params = maybe_quantize(lm_params)
         state = BatchedTTSState(tts, lm_params, mimi_params,
                                 mcfg.get("batch_size", 8), rng,
-                                condition_params=cp_params)
+                                condition_params=cp_params,
+                                mimi_dtype=mimi_dtype())
 
         async def startup():
             return asyncio.create_task(state.run_loop())

@@ -144,6 +144,51 @@ def test_batched_asr_ws_end_to_end():
     assert TOTAL_STEPS.value >= 5
 
 
+def test_asr_capacity_knobs():
+    """The big-batch capacity configuration (int8 KV + bf16 codec +
+    quantized weights — BENCH_TTS_ASR.md: bf16 KV OOMs between B=128 and
+    B=256 on a 16 GB v5e) drives the same StreamingASR step: state leaves
+    carry the requested dtypes, per-slot reset works, and the engine still
+    emits word messages."""
+    from dataclasses import replace
+    from moshi_tpu.models.asr import StreamingASR
+    from moshi_tpu.utils.quantize import quantize_lm_params
+
+    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    lm_int8 = LMModel(replace(lm.config, kv_cache_dtype="int8", context=16))
+    lm_params = quantize_lm_params(lm_params, mode="int8")
+    mimi_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
+
+    class WordyTok:
+        def decode(self, ids):
+            return "w" + str(len(ids))
+
+    asr = StreamingASR(mimi, lm_int8, batch_size=2, asr_delay_in_tokens=2,
+                       temperature=0.0, text_tokenizer=WordyTok(),
+                       mimi_dtype=jnp.bfloat16)
+    state = asr.init_state(jax.random.PRNGKey(0))
+    assert state["transformer"]["k"].dtype == jnp.int8
+    assert all(l.dtype != jnp.float32
+               for l in jax.tree.leaves(state["mimi"])
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+    rs = np.random.RandomState(0)
+    fs = mimi.frame_size
+    for _ in range(8):
+        pcm = (rs.randn(2, 1, fs) * 0.1).astype(np.float32)
+        out, state = asr.step_pcm(mimi_params, lm_params, state, pcm)
+    # the word state machines advanced past the delay and are tracking text
+    assert all(item.step_idx == 8 for item in asr.items)
+    assert all(item.text_token >= 0 for item in asr.items)
+    state = asr.reset_batch_idx(state, 0)
+    assert asr.items[0].step_idx == 0 and asr.items[1].step_idx == 8
+    assert state["transformer"]["k"].dtype == jnp.int8
+    pcm = (rs.randn(2, 1, fs) * 0.1).astype(np.float32)
+    asr.step_pcm(mimi_params, lm_params, state, pcm)
+
+
 def test_batched_asr_legacy_framing_still_works():
     """The pre-msgpack byte framing (b"\\x08" + raw f32) keeps working."""
     aiohttp = pytest.importorskip("aiohttp")

@@ -549,5 +549,31 @@ def test_tts_ws_malformed_and_disconnect():
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
 
 
+def test_decode_out_of_range_codes_stays_finite():
+    """Codes >= bins (hostile client on mimi_ws, or an LM whose audio card
+    exceeds the codec bins) must clamp, not NaN: jnp.take's default fill
+    mode writes NaN for out-of-bounds gathers, which permanently poisons
+    the streaming decode state (found live in the round-4 verify drive)."""
+    import jax
+    import jax.numpy as jnp
+    from test_mimi import tiny_mimi_config
+
+    from moshi_tpu.models.mimi import MimiModel
+
+    cfg = tiny_mimi_config()
+    model = MimiModel(cfg)
+    bins = cfg.quantizer.bins
+    for dtype in (jnp.float32, jnp.bfloat16):
+        params = model.init_params(jax.random.PRNGKey(0), dtype)
+        state = model.init_decode_state(2, dtype)
+        step = jax.jit(model.decode_step)
+        rs = np.random.RandomState(0)
+        for i in range(4):
+            codes = jnp.asarray(
+                rs.randint(0, bins + 40, (2, cfg.num_codebooks, 1)), jnp.int32)
+            pcm, state = step(params, state, codes)
+            assert np.isfinite(np.asarray(pcm)).all(), (dtype, i)
+
+
 # fixture import (module-scoped tiny checkpoint built from the reference)
 from test_server import tiny_checkpoint  # noqa: F401, E402
