@@ -123,6 +123,53 @@ def lm_param_spec(params, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, (QTensor, QTensor4, LoRAWeight)))
 
 
+def _with_axis(spec: P, shape: tuple, n: int, name: str) -> P:
+    """Add mesh axis `name` to `spec` on the largest still-unsharded,
+    divisible dim of `shape` (no-op when none qualifies)."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for i, d in enumerate(shape):
+        if parts[i] is None and d % n == 0 and d >= n \
+                and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return spec
+    parts[best] = name
+    return P(*parts)
+
+
+def fsdp_param_spec(tree, mesh: Mesh, axis: str = "dp", base=None):
+    """ZeRO-3-style fully-sharded specs: each leaf's largest divisible dim is
+    sharded over the `axis` mesh axis; GSPMD inserts the per-layer
+    all-gathers in forward/backward and reduce-scatters the gradients — the
+    FSDP the reference only hints at (`_fsdp_final` flags,
+    moshi/moshi/modules/transformer.py:357, fsdp_best_state loaders.py:426).
+
+    Purely shape-based, so applying it to the OPTIMIZER STATE tree yields
+    shardings consistent with the parameters (mu/nu share param shapes;
+    scalars stay replicated).  `base` optionally composes with an existing
+    spec tree (e.g. `lm_param_spec`'s tensor-parallel specs): the fsdp axis
+    goes on the largest dim the base left unsharded."""
+    n = mesh.shape[axis]
+
+    def leaf(x, b=P()):
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape:
+            return P()
+        return _with_axis(b, shape, n, axis)
+
+    if base is None:
+        return jax.tree.map(leaf, tree)
+    return jax.tree.map(leaf, tree, base)
+
+
+def shard_tree(tree, mesh: Mesh, specs):
+    """Device-put every leaf of `tree` onto `mesh` per the matching spec
+    tree (wrapped leaves like QTensor descend structurally)."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
 def shard_params(params, mesh: Mesh):
     """Device-put params according to `lm_param_spec`."""
     specs = lm_param_spec(params, mesh)

@@ -341,7 +341,9 @@ def run_training(cfg: dict, log=print) -> dict:
     save_every = int(cfg.get("save_every", 0))
     out_dir = cfg.get("out_dir")
     mesh = None
-    dp = int(cfg.get("mesh", {}).get("dp", 0))
+    mesh_cfg = dict(cfg.get("mesh", {}))
+    dp = int(mesh_cfg.get("dp", 0))
+    fsdp = bool(mesh_cfg.get("fsdp", False))
     if dp:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .parallel.mesh import make_mesh
@@ -386,8 +388,18 @@ def run_training(cfg: dict, log=print) -> dict:
         log(json.dumps({"event": "resumed", "step": start}))
 
     if mesh is not None:
-        put = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: jax.device_put(x, repl), t)
+        if fsdp:
+            # ZeRO-3: params AND optimizer state fully sharded over dp
+            # (shape-based rule — see parallel.mesh.fsdp_param_spec);
+            # GSPMD all-gathers weights per layer and reduce-scatters
+            # grads.  Cuts per-device state to 1/dp, the enabler for
+            # training models whose adamw state exceeds one HBM.
+            from .parallel.mesh import fsdp_param_spec, shard_tree
+            put = lambda t: shard_tree(  # noqa: E731
+                t, mesh, fsdp_param_spec(t, mesh))
+        else:
+            put = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: jax.device_put(x, repl), t)
         params, opt_state = put(params), put(opt_state)
         if vq_state is not None:
             vq_state = put(vq_state)
