@@ -253,3 +253,14 @@ def test_cli_client_end_to_end(tiny_checkpoint, tmp_path):
     assert out_wav.exists(), "no audio received/written"
     loaded, sr = audio.read_wav(out_wav)
     assert sr == 24000 and loaded.shape[-1] >= 1920
+
+
+def test_ci_lists_every_test_file():
+    """Every tests/test_*.py must appear in ci.yml — a file CI never runs is
+    how round 4 shipped a red test without noticing."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    ci = (root / ".github" / "workflows" / "ci.yml").read_text()
+    missing = [p.name for p in sorted((root / "tests").glob("test_*.py"))
+               if p.name not in ci]
+    assert not missing, f"test files not listed in CI: {missing}"

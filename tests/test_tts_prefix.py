@@ -106,13 +106,32 @@ def test_simple_generate_broadcast(tmp_path):
                              cfg_coef=1.0, condition_params=cp_params,
                              rng=jax.random.PRNGKey(5))
     assert len(p3) == 2
-    # same text, same rng, voice A in slot 0: matches the 1x1 run exactly
-    # (random tiny weights produce non-finite PCM; compare bit-wise)
+    assert all(np.isfinite(p).all() for p in p3)  # NaN would make the
+    # bit-exact assertions below vacuous (equal_nan) — guard first.
+    # Same text, same rng, voice A in slot 0: the batched run matches the
+    # 1x1 run to float tolerance.  NOT bit-wise: XLA folds batch into the
+    # matmul M dimension and selects a different gemm kernel (different
+    # accumulation order) per batch size, so B=1 and B=2 programs round
+    # differently at the last ULP.  The bit-exact invariant is
+    # *within-batch slot independence*, asserted below.
     assert p3[0].shape == pcms[0].shape
-    assert np.array_equal(p3[0], pcms[0], equal_nan=True)
-    # (voice influence on the audio itself is covered by
-    # test_serving_extra.test_tts_voice_conditioning_streamers; random
-    # tiny weights give non-finite PCM so it can't be asserted here)
+    np.testing.assert_allclose(p3[0], pcms[0], rtol=1e-4, atol=1e-6)
+
+    # THE invariant (reference ScatteredKvCache truth table,
+    # rust/moshi-core/src/kv_cache.rs:255-328): slots of ONE batch are fully
+    # independent — two slots with identical inputs are bit-identical, no
+    # matter what runs in the other slots.
+    p4 = tts.simple_generate(lm_params, mimi_params,
+                             ["hello world", "more text here", "hello world"],
+                             [va, vb, va],
+                             cfg_coef=1.0, condition_params=cp_params,
+                             rng=jax.random.PRNGKey(5))
+    assert len(p4) == 3
+    assert p4[0].shape == p4[2].shape
+    assert np.array_equal(p4[0], p4[2])
+    # and the batched slot matches the B=2 run of the same batch shape?  No —
+    # different batch sizes are different XLA programs (see above); only the
+    # same-shape comparison is bit-exact.
 
     import pytest
     with pytest.raises(ValueError):
@@ -128,7 +147,8 @@ def test_simple_generate_broadcast(tmp_path):
     manual = tts.synthesize_pcm(lm_params, mimi_params, result,
                                 prefix_length_frames=[0])
     assert manual[0].shape == pcms[0].shape
-    assert np.array_equal(manual[0], pcms[0], equal_nan=True)
+    # same batch shape (B=1) => same XLA program => bit-exact
+    assert np.array_equal(manual[0], pcms[0])
 
 
 def test_simple_generate_voice_name_resolution(tmp_path):
