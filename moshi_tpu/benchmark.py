@@ -122,15 +122,8 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     from moshi_tpu.models.asr import StreamingASR
 
     lm, lm_params = _preset_lm(model_name, quantize=weights)
-    if kv_cache or context:
-        from dataclasses import replace
-        from moshi_tpu.models.lm import LMModel
-        cfg = lm.config
-        if kv_cache:
-            cfg = replace(cfg, kv_cache_dtype=kv_cache)
-        if context:
-            cfg = replace(cfg, context=context)
-        lm = LMModel(cfg)
+    from moshi_tpu.utils.serving import override_lm
+    lm = override_lm(lm, kv_cache, context)
     mimi, mimi_params = build_mimi(min(lm.config.n_q, 32), mimi_dtype)
     asr = StreamingASR(mimi, lm, batch, asr_delay_in_tokens=6,
                        temperature=0.0, mimi_dtype=mimi_dtype)
@@ -340,15 +333,8 @@ def bench_tts_batched(model_name: str = "tts_v0_1", batch: int = 8,
     # capacity knobs (tts_v0_1's bf16 KV at ctx 4096 alone is ~13 GB at
     # B=8 — int8/int4 KV and a bounded context are the production batched
     # config, exactly as for batched full-duplex, BENCH_BATCH.md)
-    if kv_cache or context:
-        from dataclasses import replace
-        from moshi_tpu.models.lm import LMModel
-        cfg = lm.config
-        if kv_cache:
-            cfg = replace(cfg, kv_cache_dtype=kv_cache)
-        if context:
-            cfg = replace(cfg, context=context)
-        lm = LMModel(cfg)
+    from moshi_tpu.utils.serving import override_lm
+    lm = override_lm(lm, kv_cache, context)
     c = lm.config
     mimi, mimi_params = build_mimi(min(c.dep_q, 32), mimi_dtype)
 

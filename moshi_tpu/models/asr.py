@@ -8,7 +8,12 @@ Behavioral reference: `rust/moshi-core/src/asr.rs` (State/ItemState, 15-264):
   word as `Word{tokens, start_time}`; epad also emits
   `EndWord{stop_time = (step - delay)/12.5}` (242-249);
 - extra-head probabilities emitted as `Step` messages (195-207);
-- per-slot reset for batched serving (256-264).
+- per-slot reset for batched serving (256-264);
+- continuous `delay` conditioning: real kyutai STT checkpoints carry a
+  ContinuousAttribute conditioner and the server feeds
+  `condition_cont("delay", -conditioning_delay)` (an AddToInput vector) into
+  every temporal step (`moshi-server/src/asr.rs:55-67`, batched variant
+  `batched_asr.rs:190-213` which alternatively uses the learnt padding).
 
 The device work per 80 ms frame is one jitted temporal-transformer step +
 argmax/sample; the word state machine runs on host (it produces strings).
@@ -76,14 +81,50 @@ class _ItemState:
         return prev
 
 
+def asr_sum_condition(info, dim: int, conditioning_delay: float | None = None,
+                      learnt_padding: bool = False):
+    """Build the per-step AddToInput condition for an ASR checkpoint.
+
+    Mirrors the reference server exactly: a checkpoint whose model config has
+    a condition provider REQUIRES either `conditioning_delay` (the value fed
+    as `condition_cont("delay", -delay)`, `moshi-server/src/asr.rs:55-67`) or
+    `conditioning_learnt_padding` (the conditioner's learnt padding vector,
+    `batched_asr.rs:197-213`) — and rejects both at once.  Returns a
+    [1, 1, dim] array, or None when the checkpoint has no `delay` conditioner
+    and no conditioning was requested."""
+    provider, _, cp_params = info.get_conditioners(dim)
+    has_delay = provider is not None and "delay" in provider.conditioners
+    if not has_delay:
+        if conditioning_delay is not None or learnt_padding:
+            raise ValueError("conditioning requested but the checkpoint has "
+                             "no 'delay' conditioner")
+        return None
+    if conditioning_delay is not None and learnt_padding:
+        raise ValueError("conditioning_delay/conditioning_learnt_padding "
+                         "cannot be both set")  # batched_asr.rs:209
+    if learnt_padding:
+        return jnp.asarray(cp_params["delay"]["learnt_padding"],
+                           jnp.float32).reshape(1, 1, dim)
+    if conditioning_delay is None:
+        raise ValueError("missing conditioning_delay in config")  # asr.rs:57
+    cond = provider.conditioners["delay"]
+    prepared = cond.prepare([-float(conditioning_delay)])
+    out, _ = cond.apply(cp_params["delay"], prepared)
+    return out  # [1, 1, dim]
+
+
 class StreamingASR:
     def __init__(self, mimi: MimiModel, lm: LMModel, batch_size: int,
                  asr_delay_in_tokens: int, temperature: float = 0.0,
                  text_tokenizer=None, frame_rate: float = 12.5,
-                 mimi_dtype=jnp.float32):
+                 mimi_dtype=jnp.float32, sum_condition=None):
         # mimi_dtype=bf16 is the batched-serving codec knob (BENCH_BATCH.md):
         # callers must pass mimi params cast to the same dtype.
         self.mimi_dtype = jnp.dtype(mimi_dtype)
+        # [1, 1, dim] AddToInput condition applied every temporal step
+        # (asr.rs:55-67); None for unconditioned checkpoints.
+        self.sum_condition = (None if sum_condition is None
+                              else jnp.asarray(sum_condition))
         self.mimi = mimi
         self.lm = lm
         self.batch_size = batch_size
@@ -113,7 +154,8 @@ class StreamingASR:
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
         """tokens: [B, 1+n_q, 1].  One temporal step + text sampling."""
         h, text_logits, tr_state = self.lm.forward_text_step(
-            lm_params, tr_state, tokens, exec_mask=exec_mask)
+            lm_params, tr_state, tokens, sum_condition=self.sum_condition,
+            exec_mask=exec_mask)
         if self.temperature <= 0.0:
             text_token = jnp.argmax(text_logits[:, 0, 0].astype(jnp.float32), axis=-1)
         else:

@@ -163,6 +163,45 @@ def fsdp_param_spec(tree, mesh: Mesh, axis: str = "dp", base=None):
     return jax.tree.map(leaf, tree, base)
 
 
+def opt_state_spec(opt_state, params, param_specs, mesh: Mesh | None = None,
+                   axis: str = "dp"):
+    """Spec tree for an optax state, derived from the PARAM specs: any
+    subtree structured exactly like `params` (adamw's mu/nu) gets the param
+    spec tree verbatim.  Sharding mu/nu identically to the params is what
+    makes the optimizer update local under ZeRO-3 — independently-derived
+    specs (e.g. shape-based fsdp specs without the tensor-parallel base)
+    force GSPMD to reshard the whole adamw state every step.
+
+    Leaves outside params-structured subtrees (step counts; masked states
+    from optax.multi_transform) get the shape-based fsdp rule when `mesh` is
+    given, else stay replicated."""
+    params_treedef = jax.tree.structure(params)
+
+    def fallback(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if mesh is None or not shape:
+            return P()
+        return _with_axis(P(), shape, mesh.shape[axis], axis)
+
+    def rec(node):
+        try:
+            if jax.tree.structure(node) == params_treedef:
+                return param_specs
+        except Exception:
+            pass
+        if isinstance(node, tuple):  # incl. optax NamedTuple states
+            children = [rec(c) for c in node]
+            return type(node)(*children) if hasattr(node, "_fields") \
+                else tuple(children)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return fallback(node)
+
+    return rec(opt_state)
+
+
 def shard_tree(tree, mesh: Mesh, specs):
     """Device-put every leaf of `tree` onto `mesh` per the matching spec
     tree (wrapped leaves like QTensor descend structurally)."""

@@ -391,34 +391,31 @@ def main():
                         choices=["f32", "bf16"],
                         help="bf16 halves the codec share of the frame at "
                              "large batch (codes not bit-exact — QUALITY.md)")
+    parser.add_argument("--conditioning-delay", type=float, default=None,
+                        help="continuous `delay` conditioning value "
+                             "(asr.rs:55-67); required for checkpoints with "
+                             "a delay conditioner")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
     mimi, mimi_params = info.get_mimi()
     lm, lm_params = info.get_moshi()
-    import jax.numpy as jnp
-    mimi_dtype = jnp.bfloat16 if args.mimi_dtype == "bf16" else jnp.float32
-    if mimi_dtype != jnp.float32:
-        mimi_params = jax.tree.map(
-            lambda x: x.astype(mimi_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
-    if args.kv_cache or args.context:
-        from dataclasses import replace
-        from ..models.lm import LMModel
-        cfg = lm.config
-        if args.kv_cache:
-            cfg = replace(cfg, kv_cache_dtype=args.kv_cache)
-        if args.context:
-            cfg = replace(cfg, context=args.context)
-        lm = LMModel(cfg)
-    if args.weights:
-        from ..utils.quantize import quantize_lm_params
-        lm_params = quantize_lm_params(lm_params, mode=args.weights)
+    from ..models.asr import asr_sum_condition
+    from ..utils.serving import apply_serving_overrides
+    lm, lm_params, mimi_params, mimi_dtype = apply_serving_overrides(
+        lm, lm_params, mimi_params, kv_cache=args.kv_cache,
+        context=args.context, weights=args.weights,
+        mimi_dtype=args.mimi_dtype)
+    cond = asr_sum_condition(
+        info, lm.config.dim,
+        conditioning_delay=(args.conditioning_delay
+                            if args.conditioning_delay is not None
+                            else info.stt_config.get("conditioning_delay")))
     tokenizer = SentencePieceTokenizer(Path(args.checkpoint_dir) / info.tokenizer_name)
     delay = int(info.stt_config.get("audio_delay_seconds", 0.5) * mimi.frame_rate)
     asr = StreamingASR(mimi, lm, args.batch_size, asr_delay_in_tokens=delay,
                        temperature=args.temperature, text_tokenizer=tokenizer,
-                       mimi_dtype=mimi_dtype)
+                       mimi_dtype=mimi_dtype, sum_condition=cond)
     state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
 
     async def metrics_handler(_):

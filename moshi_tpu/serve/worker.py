@@ -144,40 +144,16 @@ def build_module(name: str, mcfg: dict, seed: int):
         raise ValueError(f"module {name}: set checkpoint_dir or hf_repo")
     rng = jax.random.PRNGKey(seed)
 
-    def maybe_override_kv(lm):
-        kv = mcfg.get("kv_cache")
-        ctx = mcfg.get("context")
-        if kv or ctx:
-            from dataclasses import replace
-            from ..models.lm import LMModel
-            cfg = lm.config
-            if kv:
-                cfg = replace(cfg, kv_cache_dtype=kv)
-            if ctx:
-                cfg = replace(cfg, context=int(ctx))
-            lm = LMModel(cfg)
-        return lm
+    # TOML capacity knobs kv_cache/context/weights/mimi_dtype (BENCH_BATCH.md
+    # / BENCH_TTS_ASR.md) — one shared implementation for every entry point
+    from ..utils.serving import (apply_serving_overrides, override_lm,
+                                 resolve_mimi_dtype)
 
-    def maybe_quantize(lm_params):
-        # TOML `weights = "int8" | "int4"`: re-quantize after load (the
-        # big-batch capacity knob, BENCH_BATCH.md / BENCH_TTS_ASR.md)
-        w = mcfg.get("weights")
-        if w:
-            from ..utils.quantize import quantize_lm_params
-            lm_params = quantize_lm_params(lm_params, mode=w)
-        return lm_params
+    def maybe_override_kv(lm):
+        return override_lm(lm, mcfg.get("kv_cache"), mcfg.get("context"))
 
     def mimi_dtype():
-        return (jnp.bfloat16 if mcfg.get("mimi_dtype") == "bf16"
-                else jnp.float32)
-
-    def cast_mimi(mimi_params):
-        md = mimi_dtype()
-        if md != jnp.float32:
-            mimi_params = jax.tree.map(
-                lambda x: x.astype(md)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, mimi_params)
-        return mimi_params
+        return resolve_mimi_dtype(mcfg.get("mimi_dtype"))
 
     def _stage_load(mc):
         import contextlib
@@ -228,9 +204,7 @@ def build_module(name: str, mcfg: dict, seed: int):
         state = BatchedMoshiState(mimi, mimi_params, lm, lm_params,
                                   _load_tokenizer(ckpt, info),
                                   mcfg.get("batch_size", 4), rng,
-                                  mimi_dtype=(jnp.bfloat16
-                                              if mcfg.get("mimi_dtype") ==
-                                              "bf16" else jnp.float32),
+                                  mimi_dtype=mimi_dtype(),
                                   mesh=_maybe_mesh(mcfg),
                                   **info.lm_gen_config)
         state.warmup()
@@ -241,21 +215,36 @@ def build_module(name: str, mcfg: dict, seed: int):
         return route, (lambda req: handle_chat(req, state)), startup, \
             {"type": mtype, "batch_size": state.batch_size}
 
-    if mtype == "batched_asr":
-        from ..models.asr import StreamingASR
+    if mtype in ("batched_asr", "asr"):
+        # "asr" = the reference's single-stream Asr module
+        # (moshi-server/src/asr.rs:16-33): same msgpack wire protocol as
+        # BatchedAsr, one exclusive session -> batch of 1.
+        from ..models.asr import StreamingASR, asr_sum_condition
         from .batched_asr import BatchedAsrState, handle_asr_socket
         mimi, mimi_params = info.get_mimi()
         lm, lm_params = info.get_moshi()
-        lm = maybe_override_kv(lm)
-        lm_params = maybe_quantize(lm_params)
-        mimi_params = cast_mimi(mimi_params)
-        delay = int(info.stt_config.get("audio_delay_seconds", 0.5)
-                    * mimi.frame_rate)
-        asr = StreamingASR(mimi, lm, mcfg.get("batch_size", 8),
+        lm, lm_params, mimi_params, md = apply_serving_overrides(
+            lm, lm_params, mimi_params, kv_cache=mcfg.get("kv_cache"),
+            context=mcfg.get("context"), weights=mcfg.get("weights"),
+            mimi_dtype=mcfg.get("mimi_dtype"))
+        if "asr_delay_in_tokens" in mcfg:  # rust AsrConfig field (main.rs:95)
+            delay = int(mcfg["asr_delay_in_tokens"])
+        else:
+            delay = int(info.stt_config.get("audio_delay_seconds", 0.5)
+                        * mimi.frame_rate)
+        # continuous `delay` conditioning (asr.rs:55-67): required (in either
+        # form) when the checkpoint carries a `delay` conditioner
+        cond = asr_sum_condition(
+            info, lm.config.dim,
+            conditioning_delay=mcfg.get(
+                "conditioning_delay", info.stt_config.get("conditioning_delay")),
+            learnt_padding=mcfg.get("conditioning_learnt_padding", False))
+        batch_size = 1 if mtype == "asr" else mcfg.get("batch_size", 8)
+        asr = StreamingASR(mimi, lm, batch_size,
                            asr_delay_in_tokens=delay,
                            temperature=mcfg.get("temperature", 0.0),
                            text_tokenizer=_load_tokenizer(ckpt, info),
-                           mimi_dtype=mimi_dtype())
+                           mimi_dtype=md, sum_condition=cond)
         state = BatchedAsrState(asr, mimi_params, lm_params, rng)
 
         async def startup():
@@ -284,8 +273,9 @@ def build_module(name: str, mcfg: dict, seed: int):
         tts, lm_params, mimi_params, cp_params = build_tts(
             ckpt, temp=mcfg.get("temp", 0.6),
             cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
-        tts.lm = maybe_override_kv(tts.lm)
-        lm_params = maybe_quantize(lm_params)
+        tts.lm, lm_params, _, _ = apply_serving_overrides(
+            tts.lm, lm_params, None, kv_cache=mcfg.get("kv_cache"),
+            context=mcfg.get("context"), weights=mcfg.get("weights"))
         state = BatchedTTSState(tts, lm_params, mimi_params,
                                 mcfg.get("batch_size", 8), rng,
                                 condition_params=cp_params,

@@ -291,6 +291,26 @@ def _build_mimi(cfg: dict):
     return model, params
 
 
+def _check_lm_codes(model, batch: np.ndarray):
+    """Host-side token-validity check on the trainer data path.
+
+    The model's embed() clamps out-of-range ids (mode="clip") so garbage
+    client tokens can't poison a serving stream — but silently training on
+    aliased tokens would mask upstream data/tokenizer bugs, where the
+    reference errors loudly (`LMGen check=True`, moshi/models/lm.py:704-711).
+    Allowed: row 0 (text) in [0, text_card], audio rows in [0, card],
+    plus the zero-token -1 (masked positions)."""
+    c = model.config
+    text, audio = batch[:, :1], batch[:, 1:]
+    bad_text = (text != -1) & ((text < 0) | (text > c.text_card))
+    bad_audio = (audio != -1) & ((audio < 0) | (audio > c.card))
+    if bad_text.any() or bad_audio.any():
+        ex = np.concatenate([text[bad_text].ravel(), audio[bad_audio].ravel()])
+        raise ValueError(
+            f"training batch contains out-of-range tokens (e.g. {ex[:5]}); "
+            f"valid: text [0,{c.text_card}], audio [0,{c.card}], or -1")
+
+
 def _data_batches(cfg: dict, target: str, model, steps: int):
     """Yield `steps` batches.  kinds: synthetic_repeat (one memorizable
     random batch, the overfit harness), synthetic (fresh random each step),
@@ -344,6 +364,11 @@ def run_training(cfg: dict, log=print) -> dict:
     mesh_cfg = dict(cfg.get("mesh", {}))
     dp = int(mesh_cfg.get("dp", 0))
     fsdp = bool(mesh_cfg.get("fsdp", False))
+    if fsdp and dp < 2:
+        # a config that *claims* ZeRO-3 but would silently run fully
+        # replicated is a deployment footgun, not a preference
+        raise ValueError(f"mesh.fsdp requires mesh.dp >= 2 (got dp={dp}); "
+                         "FSDP shards params/optimizer state over the dp axis")
     if dp:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .parallel.mesh import make_mesh
@@ -394,15 +419,23 @@ def run_training(cfg: dict, log=print) -> dict:
             # GSPMD all-gathers weights per layer and reduce-scatters
             # grads.  Cuts per-device state to 1/dp, the enabler for
             # training models whose adamw state exceeds one HBM.
-            from .parallel.mesh import fsdp_param_spec, shard_tree
-            put = lambda t: shard_tree(  # noqa: E731
-                t, mesh, fsdp_param_spec(t, mesh))
+            from .parallel.mesh import (fsdp_param_spec, opt_state_spec,
+                                        shard_tree)
+            p_specs = fsdp_param_spec(params, mesh)
+            params = shard_tree(params, mesh, p_specs)
+            # adamw mu/nu take the params' exact specs (see opt_state_spec)
+            opt_state = shard_tree(
+                opt_state, mesh,
+                opt_state_spec(opt_state, params, p_specs, mesh))
+            if vq_state is not None:
+                vq_state = shard_tree(vq_state, mesh,
+                                      fsdp_param_spec(vq_state, mesh))
         else:
             put = lambda t: jax.tree.map(  # noqa: E731
                 lambda x: jax.device_put(x, repl), t)
-        params, opt_state = put(params), put(opt_state)
-        if vq_state is not None:
-            vq_state = put(vq_state)
+            params, opt_state = put(params), put(opt_state)
+            if vq_state is not None:
+                vq_state = put(vq_state)
 
     def save(step_no):
         if not out_dir:
@@ -422,7 +455,10 @@ def run_training(cfg: dict, log=print) -> dict:
     batches = _data_batches(cfg, target, model, (steps - start) * accum)
     for step_no in range(start, steps):
         for _ in range(accum):
-            batch = jnp.asarray(next(batches))
+            batch = next(batches)
+            if target == "lm":
+                _check_lm_codes(model, np.asarray(batch))
+            batch = jnp.asarray(batch)
             if mesh is not None:
                 batch = jax.device_put(batch, batch_shard)
             if target == "lm":

@@ -37,19 +37,16 @@ import time
 def _build(batch: int, kv: str, ctx: int, mimi_dtype: str, weights: str):
     import jax
     import jax.numpy as jnp
-    from dataclasses import replace
     from moshi_tpu.models.lm import LMModel
     from moshi_tpu.models.lm_gen import LMGen, LMGenConfig
     from moshi_tpu.models.loaders import lm_config_tts_v0_1
     from moshi_tpu.models.mimi import MimiModel, mimi_v0_1_config
     from moshi_tpu.utils.quantize import quantize_lm_params
+    from moshi_tpu.utils.serving import override_lm
 
-    cfg = lm_config_tts_v0_1()
-    if kv != "model":
-        cfg = replace(cfg, kv_cache_dtype=kv)
-    if ctx:
-        cfg = replace(cfg, context=ctx)
-    lm = LMModel(cfg)
+    lm = override_lm(LMModel(lm_config_tts_v0_1()),
+                     kv if kv != "model" else None, ctx or None)
+    cfg = lm.config
 
     def make(k):
         p = lm.init_params(k, jnp.bfloat16)
@@ -158,12 +155,13 @@ def run_part(part: str, batch: int, kv: str, ctx: int, mimi_dtype: str,
 
 
 def sweep(batch: int, kv: str, ctx: int, mimi_dtype: str, weights: str,
-          tpu: bool):
+          tpu: bool, steps: int = 60):
     results = {}
     for part in ("full", "main", "main_ctx8", "depth", "dec"):
         cmd = [sys.executable, __file__, part, "--batch", str(batch),
                "--kv", kv, "--ctx", str(ctx), "--mimi", mimi_dtype,
-               "--weights", weights] + (["--tpu"] if tpu else [])
+               "--weights", weights, "--steps", str(steps)] \
+            + (["--tpu"] if tpu else [])
         env = dict(os.environ)
         env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
         out = subprocess.run(cmd, capture_output=True, text=True,
@@ -209,7 +207,7 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     if args.part == "sweep":
         sweep(args.batch, args.kv, args.ctx, args.mimi, args.weights,
-              args.tpu)
+              args.tpu, args.steps)
     else:
         print(json.dumps(run_part(args.part, args.batch, args.kv, args.ctx,
                                   args.mimi, args.weights, args.steps)))

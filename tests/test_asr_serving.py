@@ -299,3 +299,102 @@ def test_batched_asr_slot_resume():
         jax.tree.map(np.testing.assert_array_equal, a, b)
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(scenario())
+
+
+def test_continuous_conditioner_rust_formula():
+    """ContinuousAttributeConditioner matches the reference math
+    (rust/moshi-core/src/conditioner.rs:88-110): value * scale_factor ->
+    cat(cos, sin) sinusoidal embedding with adim_i = max_period^(-i/(h-1))
+    -> output_proj; None values take the learnt padding."""
+    from moshi_tpu.conditioners import ContinuousAttributeConditioner
+
+    cond = ContinuousAttributeConditioner(output_dim=10, dim=6,
+                                          scale_factor=0.5, max_period=100.0)
+    params = cond.init_params(jax.random.PRNGKey(0))
+    out, mask = cond.apply(params, cond.prepare([-2.5, None]))
+    assert out.shape == (2, 1, 10)
+
+    # independent recompute of the rust formula
+    half = 3
+    pos = -2.5 * 0.5
+    adim = 1.0 / 100.0 ** (np.arange(half) / (half - 1))
+    emb = np.concatenate([np.cos(pos * adim), np.sin(pos * adim)])
+    want = emb @ np.asarray(params["output_proj"])
+    np.testing.assert_allclose(np.asarray(out)[0, 0], want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[1:2],
+                               np.asarray(params["learnt_padding"]))
+    assert mask.tolist() == [[True], [False]]
+
+
+def test_asr_sum_condition_modes():
+    """asr_sum_condition mirrors the reference server's checkpoint contract
+    (moshi-server/src/asr.rs:55-67, batched_asr.rs:197-213): a checkpoint
+    with a `delay` conditioner requires exactly one of conditioning_delay /
+    learnt_padding; one without rejects both."""
+    from moshi_tpu.conditioners import (ContinuousAttributeConditioner,
+                                        ConditionProvider)
+    from moshi_tpu.models.asr import asr_sum_condition
+
+    dim = 8
+    cond = ContinuousAttributeConditioner(output_dim=dim, dim=4,
+                                          scale_factor=1.0, max_period=10.0)
+    params = {"delay": cond.init_params(jax.random.PRNGKey(1))}
+
+    class InfoWith:
+        def get_conditioners(self, output_dim):
+            assert output_dim == dim
+            return ConditionProvider({"delay": cond}), None, params
+
+    class InfoWithout:
+        def get_conditioners(self, output_dim):
+            return None, None, None
+
+    out = asr_sum_condition(InfoWith(), dim, conditioning_delay=2.0)
+    assert out.shape == (1, 1, dim)
+    # the value fed is NEGATED (condition_cont("delay", -delay), asr.rs:62)
+    want, _ = cond.apply(params["delay"], cond.prepare([-2.0]))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    pad = asr_sum_condition(InfoWith(), dim, learnt_padding=True)
+    np.testing.assert_array_equal(
+        np.asarray(pad), np.asarray(params["delay"]["learnt_padding"]))
+
+    with pytest.raises(ValueError):  # both set (batched_asr.rs:209)
+        asr_sum_condition(InfoWith(), dim, conditioning_delay=1.0,
+                          learnt_padding=True)
+    with pytest.raises(ValueError):  # conditioner present, nothing set
+        asr_sum_condition(InfoWith(), dim)
+    with pytest.raises(ValueError):  # no conditioner but conditioning asked
+        asr_sum_condition(InfoWithout(), dim, conditioning_delay=1.0)
+    assert asr_sum_condition(InfoWithout(), dim) is None
+
+
+def test_streaming_asr_applies_sum_condition():
+    """The per-step condition is added to the temporal input exactly like
+    the reference AddToInput sum (lm.rs forward_cond): conditioned device
+    step == unconditioned step on params whose condition is pre-folded,
+    and != the unconditioned step."""
+    from moshi_tpu.models.asr import StreamingASR
+
+    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    cond = (np.arange(lm.config.dim, dtype=np.float32) % 5 - 2).reshape(1, 1, -1) * 0.1
+
+    asr_c = StreamingASR(mimi, lm, batch_size=1, asr_delay_in_tokens=2,
+                         temperature=0.0, sum_condition=cond)
+    asr_p = StreamingASR(mimi, lm, batch_size=1, asr_delay_in_tokens=2,
+                         temperature=0.0)
+    state_c = asr_c.init_state(jax.random.PRNGKey(0))
+    state_p = asr_p.init_state(jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(3)
+    fs = mimi.frame_size
+    toks_c, toks_p = [], []
+    for _ in range(6):
+        pcm = (rs.randn(1, 1, fs) * 0.1).astype(np.float32)
+        _, state_c = asr_c.step_pcm(mimi_params, lm_params, state_c, pcm)
+        _, state_p = asr_p.step_pcm(mimi_params, lm_params, state_p, pcm)
+        toks_c.append(asr_c.items[0].text_token)
+        toks_p.append(asr_p.items[0].text_token)
+    # conditioning changes the text stream (tiny random model, any nonzero
+    # input shift moves argmax somewhere over 6 steps)
+    assert toks_c != toks_p
