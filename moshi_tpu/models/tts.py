@@ -216,7 +216,8 @@ class TTSModel:
                  temp: float = 0.6, cfg_coef: float = 1.0,
                  final_padding: int = 4, n_q: int = 32,
                  max_gen_length: int = 30_000, padding_bonus: float = 0.0,
-                 voice_suffix: str = "", voice_repo: str | None = None):
+                 voice_suffix: str = "", voice_repo: str | None = None,
+                 voice_aliases: dict | None = None):
         self.lm = lm
         self.mimi = mimi
         self.tokenizer = tokenizer
@@ -233,6 +234,9 @@ class TTSModel:
         self.padding_bonus = padding_bonus
         self.voice_suffix = voice_suffix
         self.voice_repo = voice_repo
+        # logical name -> file map (rust worker TtsConfig `voices`,
+        # main.rs:77); names not in the map fall back to repo resolution
+        self.voice_aliases = dict(voice_aliases or {})
 
     @property
     def multi_speaker(self) -> bool:
@@ -286,6 +290,9 @@ class TTSModel:
         fetching it from the voice repo (tts.py:630-637); `hf://REPO/PATH`
         selects another repo."""
         from .loaders import hf_get
+        if voice_name in self.voice_aliases:
+            return hf_get(self.voice_aliases[voice_name], self.voice_repo,
+                          check_local_file_exists=True)
         return hf_get(voice_name + self.voice_suffix, self.voice_repo,
                       check_local_file_exists=True)
 

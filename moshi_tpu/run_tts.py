@@ -25,11 +25,24 @@ def build_tts(checkpoint_dir: str | Path, temp: float = 0.6,
               cfg_coef: float = 1.0, n_q: int = 32,
               max_padding: int = 8, initial_padding: int = 2,
               voice_repo: str = DEFAULT_DSM_TTS_VOICE_REPO):
-    info = CheckpointInfo.from_dir(checkpoint_dir)
+    return build_tts_from_info(
+        CheckpointInfo.from_dir(checkpoint_dir), temp=temp, cfg_coef=cfg_coef,
+        n_q=n_q, max_padding=max_padding, initial_padding=initial_padding,
+        voice_repo=voice_repo)
+
+
+def build_tts_from_info(info: CheckpointInfo, temp: float = 0.6,
+                        cfg_coef: float = 1.0, n_q: int = 32,
+                        max_padding: int = 8, initial_padding: int = 2,
+                        voice_repo: str = DEFAULT_DSM_TTS_VOICE_REPO,
+                        voice_aliases: dict | None = None):
+    """Info-based core of `build_tts` (worker modules built from reference
+    TOMLs carry explicit file paths instead of a checkpoint dir —
+    serve/toml_compat.py)."""
     mimi, mimi_params = info.get_mimi()
     lm, lm_params = info.get_moshi()
     from .text.spm import SentencePieceTokenizer
-    tokenizer = SentencePieceTokenizer(Path(checkpoint_dir) / info.tokenizer_name)
+    tokenizer = SentencePieceTokenizer(info.tokenizer_path)
 
     condition_provider, fuser, cp_params = info.get_conditioners(lm.config.dim)
 
@@ -48,7 +61,8 @@ def build_tts(checkpoint_dir: str | Path, temp: float = 0.6,
                    condition_provider=condition_provider, fuser=fuser,
                    max_speakers=tts_cfg.get("max_speakers", 5),
                    temp=temp, cfg_coef=cfg_coef, n_q=n_q,
-                   voice_suffix=voice_suffix, voice_repo=voice_repo)
+                   voice_suffix=voice_suffix, voice_repo=voice_repo,
+                   voice_aliases=voice_aliases)
     return tts, lm_params, mimi_params, cp_params
 
 

@@ -241,14 +241,37 @@ class MimiRoom:
 
 
 class MimiRooms:
-    def __init__(self, state: MimiWsState):
+    def __init__(self, state: MimiWsState, allowed=None,
+                 default_room: str | None = None):
         self.state = state
         self.rooms: dict[str, MimiRoom] = {}
+        # reference worker configs declare the room list up front
+        # (main.rs:119 MimiConfig.rooms); unknown rooms are rejected there
+        self.allowed = set(allowed) if allowed is not None else None
+        self.default_room = default_room
 
     def room(self, room_id: str) -> MimiRoom:
+        if self.allowed is not None and room_id not in self.allowed:
+            raise KeyError(room_id)
         if room_id not in self.rooms:
             self.rooms[room_id] = MimiRoom(self.state)
         return self.rooms[room_id]
+
+
+def _room_of(request, rooms: MimiRooms):
+    """Room id from the URL (native /{room}/ routes), the `room_id` header
+    (reference clients, main.rs:29 ROOM_ID_HEADER) or the configured
+    default.  Returns None (-> 1008 close) for unknown/missing rooms."""
+    rid = (request.match_info.get("room")
+           or request.headers.get("room_id")
+           or request.query.get("room_id")
+           or rooms.default_room)
+    if rid is None:
+        return None
+    try:
+        return rooms.room(rid)
+    except KeyError:
+        return None
 
 
 async def handle_room_send(request, rooms: MimiRooms):
@@ -258,8 +281,12 @@ async def handle_room_send(request, rooms: MimiRooms):
     chunks."""
     from aiohttp import web, WSMsgType
 
-    room = rooms.room(request.match_info["room"])
+    room = _room_of(request, rooms)
     ws = web.WebSocketResponse()
+    if room is None:
+        await ws.prepare(request)
+        await ws.close(code=1008, message=b"unknown room")
+        return ws
     await ws.prepare(request)
     if room.producer_active:
         await ws.close(code=1008, message=b"already a producer")
@@ -302,8 +329,12 @@ async def handle_room_recv(request, rooms: MimiRooms):
     import asyncio
     from aiohttp import web
 
-    room = rooms.room(request.match_info["room"])
+    room = _room_of(request, rooms)
     ws = web.WebSocketResponse()
+    if room is None:
+        await ws.prepare(request)
+        await ws.close(code=1008, message=b"unknown room")
+        return ws
     await ws.prepare(request)
     q: asyncio.Queue = asyncio.Queue()
     room.listeners.add(q)

@@ -6,6 +6,13 @@ routes to modules ({Lm, Asr, BatchedAsr, Mimi, Tts, ...}, main.rs:153-198,
 header (main.rs:28); `/metrics` Prometheus (482-500), `/api/build_info`,
 `/api/modules_info`.
 
+Reference `moshi-server` TOML configs work VERBATIM: serde type tags
+(`Lm`/`Asr`/`BatchedAsr`/`PyBatchedAsr`/`Mimi`/`Tts`/`Py`/`PyPost`),
+`path` routes, explicit model files and the inline `[modules.X.model]`
+architecture schema are translated by `serve/toml_compat.py`
+(main.rs:154-277 schema).  The native snake_case schema below is the
+moshi_tpu-first spelling of the same modules.
+
 Config example (TOML):
 
     authorized_ids = ["public_token"]
@@ -125,13 +132,24 @@ def build_module(name: str, mcfg: dict, seed: int):
     main.rs:210-277); per-file `hf://repo/file` overrides are accepted in
     `moshi_weights` / `mimi_weights` / `tokenizer_file`."""
     from ..models.loaders import CheckpointInfo
+    from .toml_compat import (is_reference_module, translate_module,
+                              inline_checkpoint_info)
 
+    if is_reference_module(mcfg):
+        # verbatim rust moshi-server schema (type = "Lm"/"Asr"/... with the
+        # model config inline) — translate to the native schema
+        mcfg = translate_module(name, mcfg)
     mtype = mcfg["type"]
     route = mcfg["route"]
     if mtype in ("py", "py_post"):
         return _build_py_module(name, mcfg)
+    if mtype == "py_batched_asr":
+        from .py_basr import build_py_batched_asr
+        return build_py_batched_asr(name, mcfg)
     ckpt = mcfg.get("checkpoint_dir")
-    if ckpt is not None:
+    if "_inline" in mcfg:
+        info = inline_checkpoint_info(mcfg["_inline"])
+    elif ckpt is not None:
         info = CheckpointInfo.from_dir(ckpt)
     elif "hf_repo" in mcfg:
         info = CheckpointInfo.from_hf_repo(
@@ -253,12 +271,21 @@ def build_module(name: str, mcfg: dict, seed: int):
         return route, (lambda req: handle_asr_socket(req, state)), startup, \
             {"type": mtype, "batch_size": asr.batch_size}
 
+    def _build_tts():
+        from ..run_tts import build_tts_from_info, DEFAULT_DSM_TTS_VOICE_REPO
+        kw = dict(temp=mcfg.get("temp", 0.6),
+                  cfg_coef=mcfg.get("cfg_coef", 1.0),
+                  n_q=mcfg.get("n_q", 32),
+                  voice_repo=mcfg.get("voice_dir",
+                                      DEFAULT_DSM_TTS_VOICE_REPO),
+                  voice_aliases=mcfg.get("voices"))
+        if "max_padding" in mcfg:
+            kw["max_padding"] = int(mcfg["max_padding"])
+        return build_tts_from_info(info, **kw)
+
     if mtype == "tts":
-        from ..run_tts import build_tts
         from .tts_ws import TTSStreamer, handle_tts_socket
-        tts, lm_params, mimi_params, cp_params = build_tts(
-            ckpt, temp=mcfg.get("temp", 0.6),
-            cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
+        tts, lm_params, mimi_params, cp_params = _build_tts()
 
         def make_streamer():
             return TTSStreamer(tts, lm_params, mimi_params, rng,
@@ -268,11 +295,8 @@ def build_module(name: str, mcfg: dict, seed: int):
             None, {"type": mtype}
 
     if mtype == "batched_tts":
-        from ..run_tts import build_tts
         from .batched_tts import BatchedTTSState, handle_batched_tts_socket
-        tts, lm_params, mimi_params, cp_params = build_tts(
-            ckpt, temp=mcfg.get("temp", 0.6),
-            cfg_coef=mcfg.get("cfg_coef", 1.0), n_q=mcfg.get("n_q", 32))
+        tts, lm_params, mimi_params, cp_params = _build_tts()
         tts.lm, lm_params, _, _ = apply_serving_overrides(
             tts.lm, lm_params, None, kv_cache=mcfg.get("kv_cache"),
             context=mcfg.get("context"), weights=mcfg.get("weights"))
@@ -292,8 +316,17 @@ def build_module(name: str, mcfg: dict, seed: int):
                               handle_room_send, handle_room_recv)
         mimi, mimi_params = info.get_mimi()
         state = MimiWsState(mimi, mimi_params)
-        rooms = MimiRooms(state)
-        # broadcast rooms (moshi-server mimi.rs): producer + listeners
+        rooms = MimiRooms(state, allowed=mcfg.get("rooms"),
+                          default_room=mcfg.get("default_room"))
+        if mcfg.get("recv_route"):
+            # reference schema (mimi.rs): send_path/recv_path sockets, the
+            # room picked by the `room_id` header (falling back to
+            # default_room) — route == send_path here
+            extra = [(mcfg["recv_route"],
+                      lambda req: handle_room_recv(req, rooms))]
+            return route, (lambda req: handle_room_send(req, rooms)), None, \
+                {"type": mtype, "_extra_routes": extra}
+        # native schema: tokenizer socket on the route + room sub-routes
         extra = [
             (route + "/{room}/send",
              lambda req: handle_room_send(req, rooms)),
@@ -433,6 +466,10 @@ def build_app(cfg: dict, drain_timeout: float = 360.0):
     app.router.add_get("/api/modules_info", modules_handler)
 
     static_dir = cfg.get("static_dir")
+    if static_dir and not Path(static_dir).is_dir():
+        print(f"[warn] static_dir {static_dir!r} does not exist; "
+              "serving without a web UI")
+        static_dir = None
     if static_dir:
         import os
 

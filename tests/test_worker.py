@@ -367,3 +367,324 @@ def test_worker_graceful_drain(tmp_path):
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+# --------------------------------------------------------------------------
+# Drop-in support for reference moshi-server TOML configs (main.rs:154-277)
+# --------------------------------------------------------------------------
+
+def test_rust_inline_model_config_translation():
+    """The inline rust model-config schema (s2st-1b.toml shape: top-level
+    vocab sizes + [transformer] + [depformer] + [conditioners.*]) maps onto
+    LmConfig exactly as lm.rs's own preset constructors do."""
+    import tomllib
+    from moshi_tpu.serve.toml_compat import translate_module
+    from moshi_tpu.models.lm import LmConfig
+
+    # structurally the reference rust/s2st-1b.toml (values per lm.rs
+    # s2s_v0_1 / main.rs:211-277 parsing)
+    model_toml = """
+text_in_vocab_size = 48001
+text_out_vocab_size = 48000
+audio_vocab_size = 2049
+audio_codebooks = 16
+
+[transformer]
+d_model = 2048
+num_heads = 16
+num_layers = 16
+dim_feedforward = 8192
+causal = true
+norm_first = true
+bias_ff = false
+bias_attn = false
+context = 3000
+max_period = 100000
+use_conv_block = false
+use_conv_bias = true
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "Rope"
+conv_layout = false
+conv_kernel_size = 3
+kv_repeat = 1
+max_seq_len = 4096
+
+[depformer]
+num_slices = 8
+
+[depformer.transformer]
+d_model = 1024
+num_heads = 16
+num_layers = 6
+dim_feedforward = 4096
+causal = true
+context = 8
+max_period = 10000
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "None"
+kv_repeat = 1
+max_seq_len = 4096
+
+[conditioners.description]
+type = "Lut"
+n_bins = 31
+dim = 16
+possible_values = ["very_bad", "bad", "neutral", "good", "very_good"]
+"""
+    m = {"type": "Lm", "path": "/api/chat",
+         "lm_model_file": "model.safetensors",
+         "text_tokenizer_file": "tok.model",
+         "audio_tokenizer_file": "mimi.safetensors",
+         "model": tomllib.loads(model_toml),
+         "gen": {"generated_audio_codebooks": 8, "input_audio_codebooks": 8,
+                 "audio_vocab_size": 2049, "acoustic_delay": 2,
+                 "text_pad_token": 3, "text_eop_token": 0,
+                 "text_start_token": 48000}}
+    out = translate_module("chat", m)
+    assert out["type"] == "moshi" and out["route"] == "/api/chat"
+    cfg = out["_inline"]["config"]
+    lc = LmConfig.from_dict(cfg)
+    assert (lc.dim, lc.num_heads, lc.num_layers) == (2048, 16, 16)
+    assert lc.hidden_scale == 4.0
+    assert (lc.card, lc.text_card, lc.text_card_out) == (2048, 48000, None)
+    assert (lc.n_q, lc.dep_q) == (16, 8)
+    assert lc.norm == "rms_norm_f32" and lc.positional_embedding == "rope"
+    assert lc.context == 3000 and lc.max_period == 100000.0
+    assert (lc.depformer_dim, lc.depformer_num_layers) == (1024, 6)
+    assert lc.depformer_dim_feedforward == 4096
+    assert lc.depformer_pos_emb == "none"
+    # delays from gen.acoustic_delay (lm_generate_multistream semantics)
+    assert lc.delays == (0, 0, 2, 2, 2, 2, 2, 2, 2, 0, 2, 2, 2, 2, 2, 2, 2)
+    assert lc.existing_text_padding_id == 3
+    # conditioners translate to the config.json block
+    assert cfg["conditioners"]["description"]["type"] == "lut"
+    assert cfg["conditioners"]["description"]["lut"]["n_bins"] == 31
+
+
+def test_worker_reference_toml_drop_in(tiny_checkpoint):
+    """A verbatim reference-schema worker TOML (type = "BatchedAsr", `path`,
+    explicit model files, inline [modules.X.model]) boots and serves the
+    msgpack ASR protocol — MIGRATION.md's drop-in promise, tested."""
+    pytest.importorskip("aiohttp")
+    msgpack = pytest.importorskip("msgpack")
+    import aiohttp
+    import tomllib
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.serve.worker import build_app
+    from test_lm import tiny_lm_config
+
+    c = tiny_lm_config()
+    # the tiny checkpoint's architecture, spelled in the rust inline schema
+    toml = f"""
+static_dir = "/nonexistent"
+log_dir = "/tmp/worker-logs"
+instance_name = "tpu-worker"
+authorized_ids = []
+
+[modules.asr]
+type = "BatchedAsr"
+path = "/api/asr-streaming"
+lm_model_file = "{tiny_checkpoint}/model.safetensors"
+text_tokenizer_file = "{tiny_checkpoint}/tokenizer_spm_32k_3.model"
+audio_tokenizer_file = "{tiny_checkpoint}/mimi.safetensors"
+asr_delay_in_tokens = 2
+batch_size = 2
+temperature = 1.0
+
+[modules.asr.model]
+text_in_vocab_size = {c.text_card + 1}
+text_out_vocab_size = {c.text_card}
+audio_vocab_size = {c.card + 1}
+audio_codebooks = {c.n_q}
+
+[modules.asr.model.transformer]
+d_model = {c.dim}
+num_heads = {c.num_heads}
+num_layers = {c.num_layers}
+dim_feedforward = {int(c.hidden_scale * c.dim)}
+causal = true
+norm_first = true
+bias_ff = false
+bias_attn = false
+context = {c.context}
+max_period = 10000
+use_conv_block = false
+use_conv_bias = true
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "Rope"
+conv_layout = false
+conv_kernel_size = 3
+kv_repeat = 1
+max_seq_len = 4096
+
+[modules.asr.model.depformer]
+num_slices = {c.dep_q}
+
+[modules.asr.model.depformer.transformer]
+d_model = {c.depformer_dim}
+num_heads = {c.depformer_num_heads}
+num_layers = {c.depformer_num_layers}
+dim_feedforward = {c.depformer_dim_feedforward}
+causal = true
+context = {c.dep_q}
+max_period = 10000
+gating = "silu"
+norm = "RmsNorm"
+positional_embedding = "None"
+kv_repeat = 1
+max_seq_len = 4096
+"""
+    # mimi config: the checkpoint dir's mimi_config.json is not referenced
+    # by the rust schema; the worker must find the architecture from the
+    # safetensors-adjacent file or the default.  The tiny mimi is NOT the
+    # default config, so this also exercises sidecar config discovery.
+    cfg = tomllib.loads(toml)
+
+    async def run():
+        app = build_app(cfg)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/api/modules_info")
+            info = await r.json()
+            assert info["asr"]["type"] == "batched_asr"
+            assert info["asr"]["batch_size"] == 2
+
+            ws = await client.ws_connect("/api/asr-streaming")
+            msg = await ws.receive()
+            assert msgpack.unpackb(msg.data) == {"type": "Ready"}
+            rs = np.random.RandomState(0)
+            got = []
+            await ws.send_bytes(msgpack.packb({"type": "Marker", "id": 5}))
+            deadline = asyncio.get_event_loop().time() + 120
+            while asyncio.get_event_loop().time() < deadline:
+                pcm = (rs.randn(1920) * 0.1).astype(np.float32)
+                await ws.send_bytes(msgpack.packb(
+                    {"type": "Audio", "pcm": pcm.tolist()}))
+                try:
+                    m = await asyncio.wait_for(ws.receive(), timeout=0.3)
+                    if m.type == aiohttp.WSMsgType.BINARY:
+                        got.append(msgpack.unpackb(m.data))
+                except asyncio.TimeoutError:
+                    pass
+                kinds = {e["type"] for e in got}
+                if "Word" in kinds and {"type": "Marker", "id": 5} in got:
+                    break
+            await ws.close()
+            kinds = {e["type"] for e in got}
+            assert "Word" in kinds, got[:5]
+            assert {"type": "Marker", "id": 5} in got
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_py_batched_asr_module(tmp_path):
+    """The PyBatchedAsr module type (py_basr_module.rs): a user script
+    speaking the bitmask step protocol (updates NODATA/ACTIVE/RESET/marker,
+    flags ACTIVE/MARKER_RECEIVED/EOS) is served over the msgpack ASR wire
+    protocol — words assembled server-side from the token stream, markers
+    aligned past the asr delay."""
+    pytest.importorskip("aiohttp")
+    msgpack = pytest.importorskip("msgpack")
+    import aiohttp
+    import tomllib
+    from aiohttp.test_utils import TestServer, TestClient
+    from moshi_tpu.serve.worker import build_app
+
+    script = tmp_path / "toy_basr.py"
+    script.write_text(
+        "import numpy as np\n"
+        "class App:\n"
+        "    def __init__(self, batch_size, config):\n"
+        "        assert config.get('greeting') == 'hi'\n"
+        "        self.steps = np.zeros(batch_size, np.int64)\n"
+        "        self.active = np.zeros(batch_size, bool)\n"
+        "        self.warmed = False\n"
+        "    def warmup(self):\n"
+        "        self.warmed = True\n"
+        "    def step(self, pcm, flags, tokens, extra, updates):\n"
+        "        assert self.warmed\n"
+        "        for i, u in enumerate(updates):\n"
+        "            flags[i] = 0\n"
+        "            if u == -2:\n"
+        "                self.steps[i] = 0; self.active[i] = True\n"
+        "                flags[i] = 1\n"
+        "            elif u == -1:\n"
+        "                self.active[i] = True; flags[i] = 1\n"
+        "            elif u > 0:\n"
+        "                flags[i] = 2\n"
+        "            elif u == 0:\n"
+        "                self.active[i] = False\n"
+        "            if flags[i] & 3:\n"
+        "                self.steps[i] += 1\n"
+        "                # a 3-token word then a pad every 4th step\n"
+        "                tokens[i] = 3 if self.steps[i] % 4 == 0 \\\n"
+        "                    else 4 + (self.steps[i] % 3)\n"
+        "                extra[i, :] = float(self.steps[i] % 2)\n"
+        "def init(batch_size, config):\n"
+        "    return App(batch_size, config)\n")
+
+    toml = f"""
+authorized_ids = []
+
+[modules.pyasr]
+type = "PyBatchedAsr"
+path = "/api/py-asr"
+script = "{script}"
+batch_size = 2
+text_tokenizer_file = "/nonexistent/tok.model"
+asr_delay_in_tokens = 2
+
+[modules.pyasr.py]
+greeting = "hi"
+"""
+    cfg = tomllib.loads(toml)
+
+    async def run():
+        app = build_app(cfg)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/api/modules_info")
+            info = await r.json()
+            assert info["pyasr"]["type"] == "py_batched_asr"
+
+            ws = await client.ws_connect("/api/py-asr")
+            msg = await ws.receive()
+            assert msgpack.unpackb(msg.data) == {"type": "Ready"}
+            got = []
+            await ws.send_bytes(msgpack.packb({"type": "Marker", "id": 9}))
+            deadline = asyncio.get_event_loop().time() + 30
+            while asyncio.get_event_loop().time() < deadline:
+                pcm = np.zeros(1920, np.float32)
+                await ws.send_bytes(msgpack.packb(
+                    {"type": "Audio", "pcm": pcm.tolist()}))
+                try:
+                    m = await asyncio.wait_for(ws.receive(), timeout=0.2)
+                    if m.type == aiohttp.WSMsgType.BINARY:
+                        got.append(msgpack.unpackb(m.data))
+                except asyncio.TimeoutError:
+                    pass
+                kinds = {e["type"] for e in got}
+                if {"Word", "EndWord", "Step"} <= kinds \
+                        and {"type": "Marker", "id": 9} in got:
+                    break
+            await ws.close()
+            kinds = {e["type"] for e in got}
+            assert {"Word", "EndWord", "Step"} <= kinds, kinds
+            assert {"type": "Marker", "id": 9} in got
+            # word timing from the per-slot step clock (steps/12.5)
+            w = next(e for e in got if e["type"] == "Word")
+            e = next(e for e in got if e["type"] == "EndWord")
+            assert e["stop_time"] > w["start_time"] >= 0
+            steps = [e for e in got if e["type"] == "Step"]
+            assert all(len(e["prs"]) == 4 for e in steps)
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
