@@ -69,6 +69,15 @@ def lm_param_spec(params, mesh: Mesh):
             return "col" if col else None
         if joined.endswith("mlp/linear_out") or "linear2" in joined:
             return "row" if row else None
+        if "emb" in joined and joined.endswith("weight"):
+            # Embedding TABLES (accessed by vocab gather) stay tp-replicated:
+            # a tp-sharded embedding dim makes GSPMD fully rematerialize the
+            # gather (and its scatter-add transpose in the backward) every
+            # step ("Involuntary full rematerialization", XLA b/433785288).
+            # They are ~0.5 GB total at 7B — cheap next to per-step vocab
+            # collectives; FSDP still shards them over dp (fsdp_param_spec
+            # adds the dp axis on the vocab dim, which gathers cleanly).
+            return None
         if "emb" in joined or "text_linear" in joined or "linears" in joined:
             return "col" if col else None
         return None
