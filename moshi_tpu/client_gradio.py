@@ -30,7 +30,20 @@ try:
     from gradio_webrtc import AdditionalOutputs, StreamHandler, WebRTC
 except ImportError as e:  # gated: this is an optional demo dependency
     _IMPORT_ERROR = e
-    StreamHandler = object  # type: ignore[assignment,misc]
+
+    class StreamHandler:  # minimal stand-in so the handler logic (the ws
+        # protocol bridging) stays constructible and unit-testable without
+        # the gradio extras (tests/test_client_protocol.py)
+        def __init__(self, expected_layout="mono", output_sample_rate=24000,
+                     output_frame_size=480, input_sample_rate=24000):
+            self.expected_layout = expected_layout
+            self.output_sample_rate = output_sample_rate
+            self.output_frame_size = output_frame_size
+            self.input_sample_rate = input_sample_rate
+
+    class AdditionalOutputs:
+        def __init__(self, *args):
+            self.args = args
 
 
 FRAME_SIZE = 1920

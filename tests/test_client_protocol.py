@@ -258,3 +258,91 @@ def test_twin_against_real_server(tiny_checkpoint, dummy):  # noqa: F811
             await client.close()
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_gradio_handler_protocol_bridge():
+    """client_gradio.MoshiHandler's ws<->WebRTC bridging logic, executed
+    with a fake socket (no gradio extras): mic int16 frames are framed as
+    MT 10 raw pcm (or opus), incoming MT 1/2/10 messages become audio
+    chunks and AdditionalOutputs text, the raw_pcm metadata grant flips the
+    encoding."""
+    from moshi_tpu import client_gradio as cg
+    from moshi_tpu.serve import protocol as proto
+
+    h = cg.MoshiHandler("http://example:8998")
+    assert h.ws_url == "ws://example:8998/api/chat"
+
+    class FakeWs:
+        def __init__(self, incoming):
+            self.sent = []
+            self.incoming = list(incoming)
+
+        def send(self, data):
+            self.sent.append(bytes(data))
+
+        def __iter__(self):
+            return iter(self.incoming)
+
+        def close(self):
+            self.closed = True
+
+    # ---- downlink: metadata grant, pcm audio, text
+    pcm1 = (np.arange(1920, dtype=np.float32) / 4000.0).tobytes()
+    pcm2 = (np.ones(960, np.float32) * 0.25).tobytes()
+    h.ws = FakeWs([
+        proto.msg(proto.MT_METADATA, json.dumps({"raw_pcm": True}).encode()),
+        proto.msg(proto.MT_PCM, pcm1),
+        proto.msg(proto.MT_TEXT, "hello".encode()),
+        proto.msg(proto.MT_PCM, pcm2),   # buffered: under one frame
+        proto.msg(proto.MT_PCM, pcm2),   # completes a frame
+        b"",                              # keepalive -> None from emit
+    ])
+    out = h.emit()                        # first item after the metadata
+    assert isinstance(out, tuple)
+    sr, audio = out
+    assert sr == 24000 and audio.shape == (1, 1920)
+    np.testing.assert_array_equal(audio[0],
+                                  np.frombuffer(pcm1, np.float32))
+    assert h._raw_pcm is True             # grant recorded
+
+    text = h.emit()
+    assert isinstance(text, cg.AdditionalOutputs)
+    assert text.args[0] == "hello"
+
+    out2 = h.emit()                       # the two 960-sample halves
+    assert out2[1].shape == (1, 1920)
+    np.testing.assert_allclose(out2[1][0, :960], 0.25)
+    assert h.emit() is None               # keepalive
+
+    # ---- uplink: int16 mic frames -> MT 10 frames of exactly 1920 samples
+    mic = (np.ones((1, 960), np.int16) * 16384)
+    h.receive((24000, mic))
+    assert h.ws.sent == []                # buffered: under one frame
+    h.receive((24000, mic))
+    assert len(h.ws.sent) == 1
+    kind, payload = h.ws.sent[0][0], h.ws.sent[0][1:]
+    assert kind == proto.MT_PCM
+    sent = np.frombuffer(payload, np.float32)
+    assert sent.shape == (1920,)
+    np.testing.assert_allclose(sent, 0.5)
+
+    # ---- reset clears stream state
+    h.reset()
+    assert h._pending_out.size == 0 and h._pending_in.size == 0
+    assert h.copy().url == h.url
+
+    # ---- opus fallback (no raw_pcm grant): mic frames produce MT 1 pages
+    h2 = cg.MoshiHandler("https://example:8998")
+    assert h2.ws_url == "wss://example:8998/api/chat"
+    h2.ws = FakeWs([])
+    big = (np.ones((1, 4096), np.int16) * 8192)
+    h2.receive((24000, big))
+    h2.receive((24000, big))
+    assert h2.ws.sent, "opus writer produced no pages"
+    assert all(m[0] == proto.MT_AUDIO for m in h2.ws.sent)
+    # the pages decode back through the native reader
+    from moshi_tpu import moshi_native
+    rd = moshi_native.OpusStreamReader(24000)
+    decoded = b"".join(rd.append_bytes(m[1:]) for m in h2.ws.sent)
+    back = np.frombuffer(decoded, np.float32)
+    assert back.size > 0  # opus priming delay eats the start; audio flows
