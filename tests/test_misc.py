@@ -264,3 +264,117 @@ def test_ci_lists_every_test_file():
     missing = [p.name for p in sorted((root / "tests").glob("test_*.py"))
                if p.name not in ci]
     assert not missing, f"test files not listed in CI: {missing}"
+
+
+def test_tui_render_lines_layout():
+    """client_tui.render_lines (the pure layout of the moshi-cli-style TUI,
+    multistream.rs:221-420): header state + level bar, received/sent stat
+    panels, wrapped transcript, logs, key footer."""
+    from moshi_tpu.client_tui import TuiState, render_lines, _wrap
+
+    st = TuiState()
+    st.on_sent(np.ones(1920, np.float32) * 0.5)
+    st.on_audio(np.zeros(3840, np.float32))
+    st.on_text(" hello")
+    st.on_text(" world,")
+    st.on_text(" this transcript is long enough to wrap across lines")
+    st.log("info", "connected")
+    st.lag = True
+
+    lines = render_lines(st, width=100, height=24)
+    txt = {(y, x): t for y, x, t, _ in lines}
+    flat = " | ".join(t for _, _, t, _ in lines)
+    assert "moshi_tpu" in flat and "Quit <Q>" in flat
+    assert "RUNNING" in flat
+    assert "mic " in flat and "#" in flat          # level bar has energy
+    assert "audio msgs: 1" in flat                  # received panel
+    assert "play len: 3840 (0.2s)" in flat
+    assert "sent len: 1920 (0.1s)" in flat
+    assert "lag: YES" in flat
+    assert "hello world," in flat
+    assert "[info] connected" in flat
+    # every row stays inside the frame
+    assert all(x + len(t) <= 100 for _, x, t, _ in lines), "overflow"
+    # transcript wrapping is stable and bounded
+    wrapped = _wrap(st.subs, 20, 3)
+    assert len(wrapped) <= 3 and all(len(w) <= 20 for w in wrapped)
+    st.state = "EXITING"
+    flat2 = " | ".join(t for _, _, t, _ in render_lines(st, 100, 24))
+    assert "EXITING" in flat2
+
+
+def test_tui_client_end_to_end(tiny_checkpoint, tmp_path, monkeypatch):
+    """The TUI client loop runs against a real tiny server (fake curses
+    screen): stats accumulate, the transcript fills, audio is written."""
+    import asyncio
+    pytest.importorskip("aiohttp")
+    from aiohttp import web
+    from aiohttp.test_utils import TestServer
+    from moshi_tpu.models.loaders import CheckpointInfo
+    from moshi_tpu.serve.server import ServerState
+    from moshi_tpu import audio, client_tui
+    import curses
+
+    info = CheckpointInfo.from_dir(tiny_checkpoint)
+    mimi, mimi_params = info.get_mimi()
+    lm, lm_params = info.get_moshi(dtype=jnp.float32)
+
+    class _Tok:
+        def id_to_piece(self, t):
+            return f"w{t}"
+
+    state = ServerState(info, mimi, mimi_params, lm, lm_params, _Tok(),
+                        **info.lm_gen_config)
+    state.warmup()
+
+    rs = np.random.RandomState(0)
+    in_wav = tmp_path / "in.wav"
+    out_wav = tmp_path / "out.wav"
+    audio.write_wav(in_wav, (rs.randn(1920 * 8) * 0.05).astype(np.float32),
+                    24000)
+
+    class FakeScreen:
+        def __init__(self):
+            self.frames = 0
+
+        def nodelay(self, flag):
+            pass
+
+        def getch(self):
+            return -1
+
+        def erase(self):
+            pass
+
+        def getmaxyx(self):
+            return (24, 100)
+
+        def addstr(self, y, x, text, attr=0):
+            pass
+
+        def refresh(self):
+            self.frames += 1
+
+    for fn in ("curs_set", "start_color", "use_default_colors", "init_pair"):
+        monkeypatch.setattr(curses, fn, lambda *a, **k: None)
+    monkeypatch.setattr(curses, "color_pair", lambda n: 0)
+    scr = FakeScreen()
+
+    async def scenario():
+        app = web.Application()
+        app.router.add_get("/api/chat", state.handle_chat)
+        srv = TestServer(app)
+        await srv.start_server()
+        try:
+            url = f"ws://127.0.0.1:{srv.port}/api/chat"
+            return await client_tui.run_tui(scr, url, str(in_wav),
+                                            str(out_wav), rt_factor=8.0)
+        finally:
+            await srv.close()
+
+    again, text = asyncio.get_event_loop_policy().new_event_loop() \
+        .run_until_complete(scenario())
+    assert again is False
+    assert isinstance(text, str)
+    assert scr.frames > 0, "the UI never drew"
+    assert out_wav.exists()
