@@ -63,12 +63,18 @@ def flagship_config():
 
 
 def build_variants(scale: str):
-    """Returns (config, base_model, base_params, [(name, model, params)]).
+    """Returns (config, base_model, base_builder, [(name, model, builder)]).
 
     Scales: tiny (CPU); 2b = the dev-2B flagship shapes, bf16 baseline,
     all five knobs; 7b = Moshi-7B shapes — bf16 weights do not fit 16 GB
     HBM (CLAUDE.md), so the 7b baseline is int8-weights + bf16-KV and the
-    audit isolates the KV knobs at true 7B scale."""
+    audit isolates the KV knobs at true 7B scale.
+
+    MEMORY STAGING (measured: eager 2b OOMed one 16 GB v5e): the bf16
+    master and the quantized copies are built on the CPU backend and stay
+    host-resident; each `builder()` device-puts ONE params tree, and main()
+    deletes it before the next variant — at most one variant's weights are
+    ever in HBM alongside the audit state."""
     import jax
     import jax.numpy as jnp
     from moshi_tpu.models.lm import LMModel
@@ -82,33 +88,42 @@ def build_variants(scale: str):
         from moshi_tpu.models.loaders import lm_config_v0_1
         config = replace(lm_config_v0_1(), context=3000)
     model = LMModel(config)
-    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     # tiny weights are all below the production min_size threshold —
     # force quantization so the tiny audit exercises the same kernels
     min_size = 0 if scale == "tiny" else 1 << 16
-    p_int8 = quantize_lm_params(params, min_size=min_size, mode="int8")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        host = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        host = jax.tree.map(np.asarray, host)
+        host_int8 = quantize_lm_params(host, min_size=min_size, mode="int8")
+
+    default = jax.devices()[0]
+
+    def put(tree):
+        return lambda: jax.device_put(tree, default)
+
     mk = lambda kv: LMModel(replace(config, kv_cache_dtype=kv))  # noqa: E731
     if scale == "7b":
-        del params  # bf16 7B would not fit alongside the int8 copy
         variants = [
-            ("kv_int8", mk("int8"), p_int8),
-            ("kv_int4_headline", mk("int4"), p_int8),
+            ("kv_int8", mk("int8"), put(host_int8)),
+            ("kv_int4_headline", mk("int4"), put(host_int8)),
         ]
-        return config, model, p_int8, variants
-    p_q4 = quantize_lm_params(params, min_size=min_size, mode="int4")
+        return config, model, put(host_int8), variants
+    with jax.default_device(cpu):
+        host_q4 = quantize_lm_params(host, min_size=min_size, mode="int4")
     variants = [
         # control = the baseline model/params driven through the forced
         # harness: its divergence is the measurement floor (commit-path
         # asymmetry, bf16 accumulation order), to be subtracted mentally
         # from every other row
-        ("control", model, params),
-        ("kv_int8", mk("int8"), params),
-        ("kv_int4", mk("int4"), params),
-        ("w_int8", model, p_int8),
-        ("w_q4", model, p_q4),
-        ("headline_int8w_int4kv", mk("int4"), p_int8),
+        ("control", model, put(host)),
+        ("kv_int8", mk("int8"), put(host)),
+        ("kv_int4", mk("int4"), put(host)),
+        ("w_int8", model, put(host_int8)),
+        ("w_q4", model, put(host_q4)),
+        ("headline_int8w_int4kv", mk("int4"), put(host_int8)),
     ]
-    return config, model, params, variants
+    return config, model, put(host), variants
 
 
 def run_baseline(base_model, base_params, steps: int, seed: int = 1):
@@ -302,21 +317,25 @@ def main():
                         help="comma-separated variant names to skip")
     args = parser.parse_args()
 
-    config, base_model, base_params, variants = build_variants(args.scale)
+    config, base_model, base_builder, variants = build_variants(args.scale)
     skip = set(args.skip.split(",")) if args.skip else set()
     report = {"scale": args.scale, "steps": args.steps, "mode": "forced",
               "context": config.context, "variants": {}}
     print("== baseline (free-running greedy, token recording)", flush=True)
+    base_params = base_builder()
     inputs, text, audio, _ = run_baseline(base_model, base_params,
                                           args.steps)
     base = (inputs, text, audio)
     print("== reference (baseline through the forced harness)", flush=True)
     ref = record_stream(base_model, base_params, base, args.steps)
-    for name, model, params in variants:
+    del base_params  # one variant's weights in HBM at a time
+    for name, model, builder in variants:
         if name in skip:
             continue
         print(f"== {name}", flush=True)
+        params = builder()
         rec = record_stream(model, params, base, args.steps)
+        del params
         rows = compare_streams(ref, rec, args.window)
         report["variants"][name] = rows
         for r in rows:

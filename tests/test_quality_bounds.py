@@ -28,14 +28,15 @@ STEPS, WINDOW = 300, 300
 def recordings():
     """Baseline token stream + reference/variant forced recordings on the
     tiny config (shared across the bound tests; ~6 streams of 300 steps)."""
-    config, base_model, base_params, variants = qa.build_variants("tiny")
+    config, base_model, base_builder, variants = qa.build_variants("tiny")
+    base_params = base_builder()
     inputs, text, audio, _ = qa.run_baseline(base_model, base_params, STEPS)
     base = (inputs, text, audio)
     ref = qa.record_stream(base_model, base_params, base, STEPS)
     recs = {}
-    for name, model, params in variants:
+    for name, model, builder in variants:
         recs[name] = qa.compare_streams(
-            ref, qa.record_stream(model, params, base, STEPS), WINDOW)[0]
+            ref, qa.record_stream(model, builder(), base, STEPS), WINDOW)[0]
     return recs
 
 
