@@ -93,9 +93,19 @@ def test_dispatcher_http_with_live_metrics():
         client = TestClient(TestServer(app))
         await client.start_server()
         poll_task = asyncio.create_task(poll_workers(workers, interval=0.05))
+
+        async def until_polled(pred, timeout=10.0):
+            # wait for poll rounds by condition, not wall time: a fixed
+            # sleep flakes on a loaded 1-core CI host
+            deadline = asyncio.get_event_loop().time() + timeout
+            while not pred():
+                assert asyncio.get_event_loop().time() < deadline, \
+                    "poll loop never produced the expected metrics"
+                await asyncio.sleep(0.02)
+
         try:
-            await asyncio.sleep(0.2)  # a few poll rounds
-            assert workers[0].open == 1 and workers[1].open == 0
+            await until_polled(lambda: workers[0].open == 1
+                               and workers[1].open == 0)
 
             t = await (await client.get("/add_user")).json()
             c = await (await client.get("/check_user", params={
@@ -106,7 +116,8 @@ def test_dispatcher_http_with_live_metrics():
 
             # worker b fills up (polled), a is fuller still -> next waits
             opens["a"], opens["b"] = 2, 2
-            await asyncio.sleep(0.2)
+            await until_polled(lambda: workers[0].open == 2
+                               and workers[1].open == 2)
             t = await (await client.get("/add_user")).json()
             c = await (await client.get("/check_user", params={
                 "session_id": str(t["session_id"]),
