@@ -106,9 +106,17 @@ def build_variants(scale: str):
 
     mk = lambda kv: LMModel(replace(config, kv_cache_dtype=kv))  # noqa: E731
     if scale == "7b":
+        # the 2B run REFUTED the old "q4 error shrinks with dim" claim
+        # (KL 0.107 at 2B vs 0.04 tiny, both random weights), so q4 is
+        # measured at true 7B too: vs the int8 baseline (bf16 7B does not
+        # fit HBM), i.e. the drift ADDED by q4 over the int8 floor
+        with jax.default_device(cpu):
+            host_q4 = quantize_lm_params(host, min_size=min_size,
+                                         mode="int4")
         variants = [
             ("kv_int8", mk("int8"), put(host_int8)),
             ("kv_int4_headline", mk("int4"), put(host_int8)),
+            ("w_q4_vs_int8", model, put(host_q4)),
         ]
         return config, model, put(host_int8), variants
     with jax.default_device(cpu):
