@@ -102,6 +102,65 @@ def _kernel(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref,
         l_o_ref[0] = l_ref_s[:]
 
 
+def _kernel_folded(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, bias_ref,
+                   acc_o_ref, m_o_ref, l_o_ref,
+                   m_ref, l_ref_s, acc_ref, *, groups, fold, chunk, cap):
+    """head_dim < 128 variant: `fold` = 128 // head_dim heads share one
+    128-lane dot row-block (tts_v0_1 is 32 heads x 64 — the plain kernel's
+    [H, 1, 64] operands are lane-dim-64 shapes Mosaic cannot lay out).
+
+    q arrives pre-placed [B, groups, fold, 128]: row (g, i) holds head
+    (g*fold + i)'s channels at lanes i*D..(i+1)*D-1 and ZEROS elsewhere, so
+    the batched dot against the [groups, 128, chunk] channel-major cache
+    view computes each head's true scores (the zero lanes mask the other
+    heads' rows) — every Mosaic construct stays at the proven 128-lane
+    shapes.  The PV dot yields [groups, fold, 128]; the caller selects the
+    per-head diagonal D-blocks outside the kernel.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref_s[:] = jnp.zeros_like(l_ref_s)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    G = groups
+    k4 = pltpu.bitcast(k_ref[0, 0], jnp.int4).reshape(G, 128, chunk)
+    q3 = q_ref[0]                                       # [G, fold, 128]
+    scores = lax.dot_general(
+        q3, k4, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [G, fold, Sc]
+    scores = scores * ks_ref[0, 0].astype(jnp.float32)
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)
+    cols = c * chunk + lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    scores = jnp.where(cols < cap, scores, -1e30)
+
+    m_prev = m_ref[:]                                   # [G, fold, 1]
+    l_prev = l_ref_s[:]
+    m_c = jnp.max(scores, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_c)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)                         # [G, fold, Sc]
+    l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
+
+    pw = (p * vs_ref[0, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+    v4 = pltpu.bitcast(v_ref[0, 0], jnp.int4).reshape(G, 128, chunk)
+    pv = lax.dot_general(
+        pw, v4, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # [G, fold, 128]
+
+    m_ref[:] = m_new
+    l_ref_s[:] = l_new
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        acc_o_ref[0] = acc_ref[:]
+        m_o_ref[0] = m_ref[:]
+        l_o_ref[0] = l_ref_s[:]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def decode_attention_int4_stats(q, layer, k_all, v_all, k_scale, v_scale,
                                 mask, chunk: int = 1024):
@@ -128,6 +187,67 @@ def decode_attention_int4_stats(q, layer, k_all, v_all, k_scale, v_scale,
     if cap_pad > cap:
         mask = jnp.pad(mask, ((0, 0), (0, cap_pad - cap)))
     bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if D < 128:
+        # fold 128 // D heads into each 128-lane row block (see
+        # _kernel_folded); requires hd % 128 == 0
+        assert 128 % D == 0 and hd % 128 == 0, (H, D)
+        fold = 128 // D
+        G = hd // 128
+        # q rows pre-placed in disjoint lane D-blocks, zeros elsewhere
+        qr = qf.reshape(B, G, fold, D)
+        qp = jnp.concatenate(
+            [jnp.pad(qr[:, :, i:i + 1], ((0, 0), (0, 0), (0, 0),
+                                         (i * D, 128 - (i + 1) * D)))
+             for i in range(fold)], axis=2)            # [B, G, fold, 128]
+        # [L, B, H, cap] -> [L, B, G, fold, cap]: splits a non-minor dim,
+        # free (H = G*fold rows are already contiguous)
+        L = k_scale.shape[0]
+        ks5 = k_scale.reshape(L, B, G, fold, cap_pad)
+        vs5 = v_scale.reshape(L, B, G, fold, cap_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nc),
+            in_specs=[
+                pl.BlockSpec((1, G, fold, 128), lambda b, c, s: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, hd // 2, chunk),
+                             lambda b, c, s: (s[0], b, 0, c)),
+                pl.BlockSpec((1, 1, hd // 2, chunk),
+                             lambda b, c, s: (s[0], b, 0, c)),
+                pl.BlockSpec((1, 1, G, fold, chunk),
+                             lambda b, c, s: (s[0], b, 0, 0, c)),
+                pl.BlockSpec((1, 1, G, fold, chunk),
+                             lambda b, c, s: (s[0], b, 0, 0, c)),
+                pl.BlockSpec((1, 1, chunk), lambda b, c, s: (b, 0, c)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, G, fold, 128), lambda b, c, s: (b, 0, 0, 0)),
+                pl.BlockSpec((1, G, fold, 1), lambda b, c, s: (b, 0, 0, 0)),
+                pl.BlockSpec((1, G, fold, 1), lambda b, c, s: (b, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, fold, 1), jnp.float32),
+                pltpu.VMEM((G, fold, 1), jnp.float32),
+                pltpu.VMEM((G, fold, 128), jnp.float32),
+            ],
+        )
+        acc, m, l = pl.pallas_call(
+            functools.partial(_kernel_folded, groups=G, fold=fold,
+                              chunk=chunk, cap=cap),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, G, fold, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, G, fold, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, G, fold, 1), jnp.float32),
+            ],
+        )(layer, qp, k_all, v_all, ks5, vs5, bias)
+        # head g*fold+i's output lives at [g, i, i*D:(i+1)*D] (the PV dot
+        # computed all (i, lane-block) combinations; select the diagonal)
+        acc5 = acc.reshape(B, G, fold, fold, D)
+        acc = jnp.stack([acc5[:, :, i, i] for i in range(fold)],
+                        axis=2).reshape(B, H, D)
+        return acc, m.reshape(B, H, 1), l.reshape(B, H, 1)
 
     # index_map convention: grid indices first, prefetch scalar refs last
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -160,8 +280,7 @@ def decode_attention_int4_stats(q, layer, k_all, v_all, k_scale, v_scale,
             jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1), jnp.float32),
         ],
-    )(jnp.asarray(layer, jnp.int32).reshape(1), qf, k_all, v_all,
-      k_scale, v_scale, bias)
+    )(layer, qf, k_all, v_all, k_scale, v_scale, bias)
     return acc, m, l
 
 

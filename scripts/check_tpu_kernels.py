@@ -22,10 +22,10 @@ import numpy as np
 from jax import lax
 
 
-def check_decode_attention():
+def check_decode_attention(H=4, D=128, cap=96):
     from moshi_tpu.ops.int4_attention import decode_attention_int4_stats
 
-    L, B, H, D, cap = 2, 3, 4, 128, 96
+    L, B = 2, 3
     hd = H * D
     cap_pad = -(-cap // 128) * 128
     rs = np.random.RandomState(0)
@@ -133,6 +133,8 @@ if __name__ == "__main__":
               file=sys.stderr)
         sys.exit(1)
     check_decode_attention()
+    # head_dim 64 (tts_v0_1: 32 heads x 64) takes the folded-lane kernel
+    check_decode_attention(H=32, D=64, cap=200)
     check_cache_write()
     check_q4gemm()
     print("all TPU kernel checks passed")
