@@ -110,7 +110,8 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
               kv_cache: str | None = None,
               context: int | None = None,
               weights: str | None = None,
-              mimi_dtype=jnp.float32) -> dict:
+              mimi_dtype=jnp.float32,
+              mimi_chunks: int = 1) -> dict:
     """Batched streaming-ASR step benchmark: mimi encode + host-side delayed
     feeding + LM step + word state machine — the real `step_pcm` round-trip
     that `serve/batched_asr.py` pays per 80 ms frame (reference metric:
@@ -126,7 +127,8 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     lm = override_lm(lm, kv_cache, context)
     mimi, mimi_params = build_mimi(min(lm.config.n_q, 32), mimi_dtype)
     asr = StreamingASR(mimi, lm, batch, asr_delay_in_tokens=6,
-                       temperature=0.0, mimi_dtype=mimi_dtype)
+                       temperature=0.0, mimi_dtype=mimi_dtype,
+                       mimi_chunks=mimi_chunks)
     state = asr.init_state(jax.random.PRNGKey(0))
     fs = mimi.frame_size
     rs = np.random.RandomState(0)
@@ -146,16 +148,24 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     # state-machine round trip, which through THIS dev environment's
     # tunneled TPU costs ~30 ms/sync (CLAUDE.md) — a local chip pays <1 ms.
     tokens = jnp.zeros((batch, 1 + asr.n_codebooks, 1), jnp.int32)
-    pcm_j = jnp.zeros((batch, 1, fs), mimi_dtype)
     tr_state, rng = state["transformer"], state["rng"]
     mimi_state = state["mimi"]
+    bc = asr._mimi_bc
+    pcm_j = jnp.zeros((bc, 1, fs), mimi_dtype)
+
+    def encode(ms):
+        if asr.mimi_chunks == 1:
+            return asr._encode_fn(mimi_params, ms, pcm_j, None)[1]
+        return tuple(asr._encode_fn(mimi_params, ch, pcm_j, None)[1]
+                     for ch in ms)
+
     for _ in range(3):
-        codes, mimi_state = asr._encode_fn(mimi_params, mimi_state, pcm_j, None)
+        mimi_state = encode(mimi_state)
         _, _, tr_state, rng = asr._step_fn(lm_params, tr_state, tokens, rng, None)
     jax.block_until_ready(tr_state["offset"])
     t0 = time.perf_counter()
     for _ in range(len(events)):
-        codes, mimi_state = asr._encode_fn(mimi_params, mimi_state, pcm_j, None)
+        mimi_state = encode(mimi_state)
         tok, _, tr_state, rng = asr._step_fn(lm_params, tr_state, tokens, rng, None)
     np.asarray(tok)
     device_ms = (time.perf_counter() - t0) * 1000 / len(events)
@@ -163,6 +173,7 @@ def bench_asr(model_name: str = "asr_300m_202501", batch: int = 8,
     durations = sorted(e["ms"] for e in events)
     summary = {
         "mode": "asr", "model": model_name, "batch": batch,
+        "mimi_chunks": mimi_chunks,
         "kv_cache": kv_cache or lm.config.kv_cache_dtype,
         "context": lm.config.context,
         "weights": weights or "bf16",
@@ -498,6 +509,11 @@ def main():
                         help="measure only the pure-python host control "
                              "plane (no device): the per-slot state "
                              "machines at batch")
+    parser.add_argument("--mimi-chunks", type=int, default=1,
+                        help="split the mimi encoder into N sequential "
+                             "batch chunks (bounds encoder temps next to "
+                             "the LM KV at very large batch — the ASR "
+                             "B=512 remat cliff, BENCH_TTS_ASR.md)")
     args = parser.parse_args()
     mimi_dtype = jnp.bfloat16 if args.mimi_dtype == "bf16" else jnp.float32
     if args.mimi_only:
@@ -510,7 +526,7 @@ def main():
         else:
             out = bench_asr(name, args.batch, args.steps, args.out,
                             args.kv_cache, args.ctx, args.weights,
-                            mimi_dtype)
+                            mimi_dtype, mimi_chunks=args.mimi_chunks)
             out.update(bench_asr_host_only(name, args.batch,
                                            max(args.steps, 100)))
             out["mode"] = "asr"

@@ -117,10 +117,24 @@ class StreamingASR:
     def __init__(self, mimi: MimiModel, lm: LMModel, batch_size: int,
                  asr_delay_in_tokens: int, temperature: float = 0.0,
                  text_tokenizer=None, frame_rate: float = 12.5,
-                 mimi_dtype=jnp.float32, sum_condition=None):
+                 mimi_dtype=jnp.float32, sum_condition=None,
+                 mimi_chunks: int = 1):
         # mimi_dtype=bf16 is the batched-serving codec knob (BENCH_BATCH.md):
         # callers must pass mimi params cast to the same dtype.
         self.mimi_dtype = jnp.dtype(mimi_dtype)
+        # mimi_chunks > 1 splits the Mimi encoder state/compute into that
+        # many independent batch chunks stepped sequentially.  At very large
+        # batch the encoder's activation temps (~10 MB/slot) otherwise peak
+        # NEXT TO the resident LM KV cache and push XLA into involuntary
+        # rematerialization — the measured B=512 int4-KV cliff (60 -> 207 ms,
+        # BENCH_TTS_ASR.md; byte accounting: scripts/asr_hbm_audit.py).
+        # Chunking bounds the encode working set without any gather/scatter:
+        # each chunk is a separate state tree, so no copies are paid.
+        if batch_size % mimi_chunks != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mimi_chunks {mimi_chunks}")
+        self.mimi_chunks = mimi_chunks
+        self._mimi_bc = batch_size // mimi_chunks
         # [1, 1, dim] AddToInput condition applied every temporal step
         # (asr.rs:55-67); None for unconditioned checkpoints.
         self.sum_condition = (None if sum_condition is None
@@ -144,11 +158,27 @@ class StreamingASR:
         self._reset_fn = jax.jit(self._masked_reset, donate_argnums=0)
         # exact per-leaf batch axes: the shape heuristic corrupts other
         # slots when B collides with a layer-stack dim (utils/trees.py)
-        from ..utils.trees import state_batch_axes
+        from ..utils.trees import (state_batch_axes, take_slots, put_slots)
         self._ax_mimi = state_batch_axes(
             lambda b: self.mimi.init_encode_state(b, self.mimi_dtype))
         self._ax_tr = state_batch_axes(
             lambda b: self.lm.transformer.init_state(b, jnp.bfloat16))
+        # single-slot snapshot extract/restore (session resume).  Split per
+        # sub-tree so the chunked-mimi layout can route the chunk on the
+        # host (a traced slot index cannot select among chunk pytrees);
+        # restores donate the live buffers (a host-side scatter would
+        # materialize a second full state next to the live one).
+        self._extract_tr = jax.jit(
+            lambda tr, idx: take_slots(tr, idx, batch_size, self._ax_tr))
+        self._restore_tr = jax.jit(
+            lambda tr, v, idx: put_slots(tr, v, idx, batch_size, self._ax_tr),
+            donate_argnums=0)
+        self._extract_mimi = jax.jit(
+            lambda mc, idx: take_slots(mc, idx, self._mimi_bc, self._ax_mimi))
+        self._restore_mimi = jax.jit(
+            lambda mc, v, idx: put_slots(mc, v, idx, self._mimi_bc,
+                                         self._ax_mimi),
+            donate_argnums=0)
 
     # ------------------------------------------------------------- device part
     def _device_step(self, lm_params, tr_state, tokens, rng, exec_mask):
@@ -168,9 +198,15 @@ class StreamingASR:
 
     # --------------------------------------------------------------- state mgmt
     def init_state(self, rng: jax.Array, dtype=jnp.bfloat16) -> dict:
+        if self.mimi_chunks == 1:
+            mimi = self.mimi.init_encode_state(self.batch_size,
+                                               self.mimi_dtype)
+        else:
+            mimi = tuple(self.mimi.init_encode_state(self._mimi_bc,
+                                                     self.mimi_dtype)
+                         for _ in range(self.mimi_chunks))
         return {
-            "mimi": self.mimi.init_encode_state(self.batch_size,
-                                                self.mimi_dtype),
+            "mimi": mimi,
             "transformer": self.lm.transformer.init_state(self.batch_size, dtype),
             "rng": rng,
         }
@@ -187,31 +223,84 @@ class StreamingASR:
         and can OOM at max batch; inside jit the fresh init fuses into
         in-place selects on the donated buffers."""
         from ..utils.trees import masked_reset
-        init = {
-            "mimi": self.mimi.init_encode_state(self.batch_size,
-                                                self.mimi_dtype),
-            "transformer": self.lm.transformer.init_state(
-                self.batch_size, state["transformer"]["k"].dtype),
-        }
+        tr_init = self.lm.transformer.init_state(
+            self.batch_size, state["transformer"]["k"].dtype)
         new = dict(state)
-        new["mimi"] = masked_reset(state["mimi"], init["mimi"], mask,
-                                   self._ax_mimi)
-        new["transformer"] = masked_reset(state["transformer"],
-                                          init["transformer"], mask,
-                                          self._ax_tr)
+        if self.mimi_chunks == 1:
+            mimi_init = self.mimi.init_encode_state(self.batch_size,
+                                                    self.mimi_dtype)
+            new["mimi"] = masked_reset(state["mimi"], mimi_init, mask,
+                                       self._ax_mimi)
+        else:
+            bc = self._mimi_bc
+            mimi_init = self.mimi.init_encode_state(bc, self.mimi_dtype)
+            new["mimi"] = tuple(
+                masked_reset(ch, mimi_init, mask[i * bc:(i + 1) * bc],
+                             self._ax_mimi)
+                for i, ch in enumerate(state["mimi"]))
+        new["transformer"] = masked_reset(state["transformer"], tr_init,
+                                          mask, self._ax_tr)
         return new
 
     # ---------------------------------------------------------------- stepping
     def step_pcm(self, mimi_params, lm_params, state: dict, pcm,
                  exec_mask=None) -> tuple[list, dict]:
         """pcm: [B, 1, n*frame_size] -> (messages, new state)."""
-        codes, mimi_state = self._encode_fn(
-            mimi_params, state["mimi"],
-            jnp.asarray(pcm, self.mimi_dtype), exec_mask)
         state = dict(state)
-        state["mimi"] = mimi_state
+        if self.mimi_chunks == 1:
+            codes, state["mimi"] = self._encode_fn(
+                mimi_params, state["mimi"],
+                jnp.asarray(pcm, self.mimi_dtype), exec_mask)
+        else:
+            bc = self._mimi_bc
+            pcm = np.asarray(pcm)
+            em = None if exec_mask is None else np.asarray(exec_mask)
+            outs, chunks = [], []
+            for i, ch in enumerate(state["mimi"]):
+                c, ns = self._encode_fn(
+                    mimi_params, ch,
+                    jnp.asarray(pcm[i * bc:(i + 1) * bc], self.mimi_dtype),
+                    None if em is None
+                    else jnp.asarray(em[i * bc:(i + 1) * bc]))
+                outs.append(c)
+                chunks.append(ns)
+            state["mimi"] = tuple(chunks)
+            codes = jnp.concatenate(outs, axis=0)
         msgs, state = self.step_tokens(lm_params, state, np.asarray(codes), exec_mask)
         return msgs, state
+
+    # ------------------------------------------------- single-slot snapshots
+    def extract_slot_arrays(self, state: dict, slot: int):
+        """Device rows (mimi, transformer) for one slot — session resume.
+        `slot` must be a host int: the chunked-mimi layout routes the chunk
+        in python (a traced index cannot select among pytrees)."""
+        slot = int(slot)
+        idx = jnp.asarray([slot], jnp.int32)
+        tr = self._extract_tr(state["transformer"], idx)
+        if self.mimi_chunks == 1:
+            m = self._extract_mimi(state["mimi"], idx)
+        else:
+            bc = self._mimi_bc
+            m = self._extract_mimi(state["mimi"][slot // bc],
+                                   jnp.asarray([slot % bc], jnp.int32))
+        return (m, tr)
+
+    def restore_slot_arrays(self, state: dict, arrays, slot: int) -> dict:
+        """Inverse of extract_slot_arrays; donates the live buffers."""
+        slot = int(slot)
+        m, tr = arrays
+        idx = jnp.asarray([slot], jnp.int32)
+        new = dict(state)
+        new["transformer"] = self._restore_tr(state["transformer"], tr, idx)
+        if self.mimi_chunks == 1:
+            new["mimi"] = self._restore_mimi(state["mimi"], m, idx)
+        else:
+            bc = self._mimi_bc
+            chunks = list(state["mimi"])
+            chunks[slot // bc] = self._restore_mimi(
+                chunks[slot // bc], m, jnp.asarray([slot % bc], jnp.int32))
+            new["mimi"] = tuple(chunks)
+        return new
 
     def step_tokens(self, lm_params, state: dict, audio_tokens: np.ndarray,
                     exec_mask=None) -> tuple[list, dict]:

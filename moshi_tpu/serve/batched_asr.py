@@ -74,27 +74,10 @@ class BatchedAsrState:
                                         cap=max(8, self.batch_size))
         self.slot_resume_id = RidRegistry()
         self.slot_resumed: dict[int, bool] = {}
-        B = self.batch_size
-        import jax
-        import jax.numpy as jnp
-        from ..utils.trees import take_slots, put_slots
-
-        def _extract(st, slot):
-            idx = jnp.asarray([slot])
-            return (take_slots(st["mimi"], idx, B, asr._ax_mimi),
-                    take_slots(st["transformer"], idx, B, asr._ax_tr))
-
-        def _restore(st, snap, slot):
-            m, tr = snap
-            idx = jnp.asarray([slot])
-            new = dict(st)
-            new["mimi"] = put_slots(st["mimi"], m, idx, B, asr._ax_mimi)
-            new["transformer"] = put_slots(st["transformer"], tr, idx, B,
-                                           asr._ax_tr)
-            return new
-
-        self._extract = jax.jit(_extract)
-        self._restore = jax.jit(_restore, donate_argnums=0)
+        # single-slot extract/restore live on StreamingASR (they route the
+        # chunked-mimi layout on the host; jitted + donated there)
+        self._extract = asr.extract_slot_arrays
+        self._restore = asr.restore_slot_arrays
 
     def issue_resume_id(self, slot: int) -> str:
         from .snapshots import new_resume_id
@@ -395,6 +378,10 @@ def main():
                         help="continuous `delay` conditioning value "
                              "(asr.rs:55-67); required for checkpoints with "
                              "a delay conditioner")
+    parser.add_argument("--mimi-chunks", type=int, default=1,
+                        help="split the mimi encoder into N sequential "
+                             "batch chunks (avoids the B>=512 remat cliff "
+                             "— BENCH_TTS_ASR.md)")
     args = parser.parse_args()
 
     info = CheckpointInfo.from_dir(args.checkpoint_dir)
@@ -415,7 +402,8 @@ def main():
     delay = int(info.stt_config.get("audio_delay_seconds", 0.5) * mimi.frame_rate)
     asr = StreamingASR(mimi, lm, args.batch_size, asr_delay_in_tokens=delay,
                        temperature=args.temperature, text_tokenizer=tokenizer,
-                       mimi_dtype=mimi_dtype, sum_condition=cond)
+                       mimi_dtype=mimi_dtype, sum_condition=cond,
+                       mimi_chunks=args.mimi_chunks)
     state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
 
     async def metrics_handler(_):

@@ -262,7 +262,8 @@ def build_module(name: str, mcfg: dict, seed: int):
                            asr_delay_in_tokens=delay,
                            temperature=mcfg.get("temperature", 0.0),
                            text_tokenizer=_load_tokenizer(ckpt, info),
-                           mimi_dtype=md, sum_condition=cond)
+                           mimi_dtype=md, sum_condition=cond,
+                           mimi_chunks=mcfg.get("mimi_chunks", 1))
         state = BatchedAsrState(asr, mimi_params, lm_params, rng)
 
         async def startup():

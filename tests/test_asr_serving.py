@@ -44,10 +44,12 @@ def test_run_inference_stt_mode():
     assert text_tokens.size >= 3  # one text token per consumed frame
 
 
-def test_batched_asr_ws_end_to_end():
+@pytest.mark.parametrize("mimi_chunks", [1, 2])
+def test_batched_asr_ws_end_to_end(mimi_chunks):
     """Drives the reference msgpack protocol (asr.rs:15-33): Init/Ready,
     Audio, Marker round-trip with delay alignment, Step messages carrying
-    the extra-head probabilities per slot."""
+    the extra-head probabilities per slot.  mimi_chunks=2 re-runs the whole
+    ws surface on the chunked-encoder layout (the B>=512 HBM knob)."""
     aiohttp = pytest.importorskip("aiohttp")
     msgpack = pytest.importorskip("msgpack")
     from aiohttp import web
@@ -63,7 +65,8 @@ def test_batched_asr_ws_end_to_end():
 
     delay = 2
     asr = StreamingASR(mimi, lm, batch_size=2, asr_delay_in_tokens=delay,
-                       temperature=0.0, text_tokenizer=WordyTok())
+                       temperature=0.0, text_tokenizer=WordyTok(),
+                       mimi_chunks=mimi_chunks)
     state = BatchedAsrState(asr, mimi_params, lm_params, jax.random.PRNGKey(0))
 
     async def run():
@@ -398,3 +401,54 @@ def test_streaming_asr_applies_sum_condition():
     # conditioning changes the text stream (tiny random model, any nonzero
     # input shift moves argmax somewhere over 6 steps)
     assert toks_c != toks_p
+
+
+def test_asr_mimi_chunks_parity():
+    """mimi_chunks=2 (the B>=512 HBM knob, BENCH_TTS_ASR.md) is a pure
+    scheduling change: the text stream, per-slot resets, and single-slot
+    snapshot rows match the unchunked layout.  Mimi rows are compared to
+    float tolerance (chunking changes the encoder's XLA batch shape, so
+    conv accumulation order may differ at the last ULP); the LM rows and
+    all emitted tokens must be exact."""
+    from moshi_tpu.models.asr import StreamingASR
+
+    lm, lm_params, mimi, mimi_params = _tiny_stt()
+    asr1 = StreamingASR(mimi, lm, batch_size=4, asr_delay_in_tokens=2,
+                        temperature=0.0, mimi_chunks=1)
+    asr2 = StreamingASR(mimi, lm, batch_size=4, asr_delay_in_tokens=2,
+                        temperature=0.0, mimi_chunks=2)
+    s1 = asr1.init_state(jax.random.PRNGKey(0))
+    s2 = asr2.init_state(jax.random.PRNGKey(0))
+    assert isinstance(s2["mimi"], tuple) and len(s2["mimi"]) == 2
+
+    fs = mimi.frame_size
+    rs = np.random.RandomState(0)
+    for t in range(6):
+        pcm = (rs.randn(4, 1, fs) * 0.1).astype(np.float32)
+        em = np.array([True, True, t % 2 == 0, True])
+        m1, s1 = asr1.step_pcm(mimi_params, lm_params, s1, pcm, exec_mask=em)
+        m2, s2 = asr2.step_pcm(mimi_params, lm_params, s2, pcm, exec_mask=em)
+        assert [type(m).__name__ for m in m1] == [type(m).__name__ for m in m2]
+        assert ([i.text_token for i in asr1.items]
+                == [i.text_token for i in asr2.items])
+        if t == 3:
+            s1 = asr1.reset_batch_idx(s1, 1)
+            s2 = asr2.reset_batch_idx(s2, 1)
+
+    # single-slot snapshot rows agree across layouts for every slot,
+    # including slots in the second chunk (host-routed chunk selection)
+    for slot in range(4):
+        r1 = jax.tree.map(np.asarray, asr1.extract_slot_arrays(s1, slot))
+        r2 = jax.tree.map(np.asarray, asr2.extract_slot_arrays(s2, slot))
+        jax.tree.map(np.testing.assert_array_equal, r1[1], r2[1])  # LM rows
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), rtol=1e-5, atol=1e-6),
+            r1[0], r2[0])
+
+    # restore round-trip on the chunked layout (slot 3 lives in chunk 1):
+    # copying slot 3's rows into slot 0 makes extract(0) == extract(3)
+    rows = asr2.extract_slot_arrays(s2, 3)
+    s2 = asr2.restore_slot_arrays(s2, rows, 0)
+    a = jax.tree.map(np.asarray, asr2.extract_slot_arrays(s2, 0))
+    b = jax.tree.map(np.asarray, asr2.extract_slot_arrays(s2, 3))
+    jax.tree.map(np.testing.assert_array_equal, a, b)
