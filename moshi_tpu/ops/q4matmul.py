@@ -42,6 +42,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# The dout grid dim is embarrassingly parallel; only the din dim carries the
+# accumulator.  Declaring this lets Mosaic pipeline output-block DMAs instead
+# of treating the whole grid as sequential.  The VMEM cap is raised past the
+# default ~16 MB scoped limit (v5e has 128 MiB) so bigger double-buffered
+# weight blocks are legal; actual block sizes stay env-tunable.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
+    vmem_limit_bytes=100 * 2**20,
+)
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs):
     j = pl.program_id(1)  # din tile index (innermost)
 
@@ -93,6 +104,7 @@ def q4gemm(x: jax.Array, q: jax.Array, scale: jax.Array, *,
     return pl.pallas_call(
         functools.partial(_kernel, gs=gs),
         grid=grid,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((B, block_in), lambda i, j: (0, j)),            # x
             pl.BlockSpec((block_in // 2, block_out), lambda i, j: (j, i)),  # q
@@ -167,6 +179,7 @@ def q4gemm_stacked(x: jax.Array, q: jax.Array, scale: jax.Array,
     return pl.pallas_call(
         functools.partial(_kernel_stacked, gs=gs),
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=jax.ShapeDtypeStruct((B, dout), x.dtype),
         interpret=interpret,
     )(idx.reshape(1).astype(jnp.int32), x, q, scale)
